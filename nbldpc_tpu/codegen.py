@@ -1,0 +1,117 @@
+"""Deterministic seeded NB-LDPC code construction (PEG).
+
+The five BASELINE.json config codes — GF(4) (96,48), GF(16) (204,102),
+GF(64) (576,480), GF(256) (255,175) — are NOT copied from anywhere: the
+reference repo was unavailable (SURVEY.md §0), so these shapes are
+*regenerated* here with a Progressive-Edge-Growth construction (Hu, Eleftheriou
+& Arnold 2005, public algorithm) and seeded random GF(q)* edge weights.
+Generation is deterministic given (n, m, q, dv, seed); the generated files are
+checked into codes/ and the generator kept so they are reproducible
+(SURVEY.md §7 risk item 5).
+
+PEG greedily places each edge at the check node farthest from the variable
+node in the current subgraph (maximizing local girth), tie-breaking by lowest
+current check degree then seeded choice. With the min-degree tie-break, row
+degrees self-balance to ceil/floor(E/M).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+from nbldpc_tpu.code import CodeSpec
+from nbldpc_tpu.encode import gf_row_reduce
+from nbldpc_tpu.gf import get_field
+
+
+def _peg_structure(n: int, m: int, dv: np.ndarray, rng: np.random.Generator):
+    """Binary Tanner-graph structure via PEG. Returns per-row column lists."""
+    vn_checks = [[] for _ in range(n)]   # checks adjacent to each vn
+    cn_vars = [[] for _ in range(m)]     # vars adjacent to each cn
+    cn_deg = np.zeros(m, dtype=np.int64)
+
+    for v in range(n):
+        for _k in range(int(dv[v])):
+            # BFS from v over the current bipartite graph -> distance to checks
+            dist = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+            seen_v = np.zeros(n, dtype=bool)
+            seen_c = np.zeros(m, dtype=bool)
+            seen_v[v] = True
+            frontier = deque([("v", v, 0)])
+            while frontier:
+                kind, node, d = frontier.popleft()
+                if kind == "v":
+                    for c in vn_checks[node]:
+                        if not seen_c[c]:
+                            seen_c[c] = True
+                            dist[c] = d + 1
+                            frontier.append(("c", c, d + 1))
+                else:
+                    for u in cn_vars[node]:
+                        if not seen_v[u]:
+                            seen_v[u] = True
+                            frontier.append(("v", u, d + 1))
+            # degree-constrained PEG: restrict to minimum-degree checks first
+            # (keeps row degrees balanced to ceil/floor(E/M) — dense padded
+            # compute on TPU pays for dc_max, so balance beats a little girth),
+            # then among those pick the farthest (girth), then seeded choice.
+            cand = np.arange(m)[~np.asarray([c in vn_checks[v] for c in range(m)])]
+            if len(cand) == 0:
+                raise ValueError("dv exceeds number of checks")
+            degmin = cn_deg[cand].min()
+            cand = cand[cn_deg[cand] == degmin]
+            dmax = dist[cand].max()
+            cand = cand[dist[cand] == dmax]
+            c = int(cand[rng.integers(len(cand))])
+            vn_checks[v].append(c)
+            cn_vars[c].append(v)
+            cn_deg[c] += 1
+    return cn_vars
+
+
+def make_peg_code(
+    n: int, m: int, q: int, dv: int = 2, seed: int = 0, require_full_rank: bool = True
+) -> CodeSpec:
+    """Generate a (n, n-m) NB-LDPC code over GF(q) with column degree dv.
+
+    Retries GF-weight assignment (and then structure) until H has rank m over
+    GF(q), so the systematic encoder always exists.
+    """
+    gf = get_field(q)
+    dv_arr = np.full(n, dv, dtype=np.int64)
+    for attempt in range(32):
+        rng = np.random.default_rng([seed, attempt, n, m, q])
+        cn_vars = _peg_structure(n, m, dv_arr, rng)
+        for val_try in range(8):
+            vrng = np.random.default_rng([seed, attempt, val_try, 0xBEEF])
+            row_cols, row_vals = [], []
+            for mi in range(m):
+                cols = np.array(sorted(cn_vars[mi]), dtype=np.int32)
+                vals = vrng.integers(1, q, size=len(cols)).astype(np.int32)
+                row_cols.append(cols)
+                row_vals.append(vals)
+            spec = CodeSpec(q=q, n=n, m=m, row_cols=tuple(row_cols), row_vals=tuple(row_vals))
+            if not require_full_rank:
+                return spec
+            H = spec.dense_h()
+            _, rank, _ = gf_row_reduce(H, gf)
+            if rank == m:
+                return spec
+    raise RuntimeError(f"could not build full-rank code ({n},{n - m}) over GF({q})")
+
+
+# The BASELINE.json config code shapes (SURVEY.md §6), regenerated:
+STANDARD_CODES = {
+    # name: (n, m, q, dv, seed)
+    "gf4_n96_k48": (96, 48, 4, 2, 1),
+    "gf16_n204_k102": (204, 102, 16, 2, 1),
+    "gf64_n576_k480": (576, 96, 64, 2, 1),
+    "gf256_n255_k175": (255, 80, 256, 2, 1),
+}
+
+
+def build_standard_code(name: str) -> CodeSpec:
+    n, m, q, dv, seed = STANDARD_CODES[name]
+    return make_peg_code(n, m, q, dv=dv, seed=seed)

@@ -1,0 +1,112 @@
+"""Shared decoder skeleton: VN update, tentative decision, syndrome loop.
+
+SURVEY.md C11/C12 + §3.2: all three decoders (QSPA/EMS/T-EMS) share
+    init V = prior -> [CN update -> VN update -> decision -> syndrome] x iters
+with early termination on zero syndrome. This module implements the loop as a
+`lax.fori_loop` (fixed budget — the BASELINE.json throughput metric) or
+`lax.while_loop` (early termination) over a per-frame done-mask; converged
+frames are frozen with `where` so their hard decisions are preserved while
+the rest of the batch keeps iterating (no dynamic shapes — XLA-friendly).
+
+Message convention: log-domain, CN-major [B, M, dc_max, q], normalized so
+max over q = 0. Prior llr: [B, N, q] log-likelihoods (any normalization).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nbldpc_tpu.graph import TannerGraph
+
+
+class DecodeResult(NamedTuple):
+    hard: jnp.ndarray    # [B, N] int32 tentative symbol decisions
+    done: jnp.ndarray    # [B] bool — syndrome satisfied
+    iters: jnp.ndarray   # [B] int32 — iterations run until convergence/budget
+
+
+class _State(NamedTuple):
+    C: jnp.ndarray       # [B, M, dc_max, q] check->var extrinsic (log)
+    hard: jnp.ndarray    # [B, N]
+    done: jnp.ndarray    # [B]
+    iters: jnp.ndarray   # [B]
+    it: jnp.ndarray      # () loop counter
+
+
+CnUpdateFn = Callable[[jnp.ndarray, TannerGraph], jnp.ndarray]
+
+
+def vn_update(
+    graph: TannerGraph, llr: jnp.ndarray, C: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Variable-node phase.
+
+    Returns (V, posterior, hard):
+      V [B, M, dc_max, q] — var->check messages (leave-one-out, normalized)
+      posterior [B, N, q] — prior + sum of all extrinsics
+      hard [B, N] — argmax of posterior
+    """
+    Cv = graph.gather_vn(C)                                   # [B, N, dv, q]
+    posterior = llr + jnp.sum(Cv, axis=2)                     # pad rows are 0
+    Vv = posterior[:, :, None, :] - Cv                        # leave-one-out
+    Vv = Vv - jnp.max(Vv, axis=-1, keepdims=True)             # normalize
+    V = graph.gather_cn(Vv)                                   # [B, M, dc, q]
+    hard = jnp.argmax(posterior, axis=-1).astype(jnp.int32)
+    return V, posterior, hard
+
+
+def decode(
+    graph: TannerGraph,
+    llr: jnp.ndarray,
+    cn_update: CnUpdateFn,
+    max_iters: int,
+    early_term: bool = True,
+) -> DecodeResult:
+    """Run iterative BP decoding. Pure and jittable; vmap-free batched."""
+    B = llr.shape[0]
+    llr = llr - jnp.max(llr, axis=-1, keepdims=True)
+    C0 = jnp.zeros((B, graph.m, graph.dc_max, graph.q), llr.dtype)
+    hard0 = jnp.argmax(llr, axis=-1).astype(jnp.int32)
+    done0 = jnp.all(graph.syndrome(hard0) == 0, axis=-1)
+    st = _State(
+        C=C0,
+        hard=hard0,
+        done=done0,
+        iters=jnp.zeros((B,), jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
+    )
+
+    def body(st: _State) -> _State:
+        V, _, _ = vn_update(graph, llr, st.C)
+        C_new = cn_update(V, graph)
+        _, posterior, hard_new = _decision(graph, llr, C_new)
+        done_new = jnp.all(graph.syndrome(hard_new) == 0, axis=-1)
+        active = ~st.done
+        keep = st.done
+        C = jnp.where(keep[:, None, None, None], st.C, C_new)
+        hard = jnp.where(keep[:, None], st.hard, hard_new)
+        return _State(
+            C=C,
+            hard=hard,
+            done=st.done | done_new,
+            iters=st.iters + active.astype(jnp.int32),
+            it=st.it + 1,
+        )
+
+    if early_term:
+        st = jax.lax.while_loop(
+            lambda s: (s.it < max_iters) & ~jnp.all(s.done), body, st
+        )
+    else:
+        st = jax.lax.fori_loop(0, max_iters, lambda _, s: body(s), st)
+    return DecodeResult(hard=st.hard, done=st.done, iters=st.iters)
+
+
+def _decision(graph: TannerGraph, llr, C):
+    Cv = graph.gather_vn(C)
+    posterior = llr + jnp.sum(Cv, axis=2)
+    hard = jnp.argmax(posterior, axis=-1).astype(jnp.int32)
+    return Cv, posterior, hard

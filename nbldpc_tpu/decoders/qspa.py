@@ -1,0 +1,66 @@
+"""QSPA: q-ary sum-product decoder with Hadamard-domain check-node update.
+
+SURVEY.md C8 / §3.2: the CN update is a circular convolution over
+(GF(2^p), +), computed in the Walsh–Hadamard domain:
+
+    permute by edge weight -> softmax to prob domain -> WHT ->
+    leave-one-out product over the check's dc edges -> inverse WHT ->
+    clip -> log -> inverse permute
+
+Numerics (SURVEY.md §7 hard part 2): the WHT needs prob-domain inputs but
+raw products underflow over 50 iterations, so the leave-one-out product is
+done in sign/log-magnitude form: per-edge WHT spectra F satisfy |F| <= 1
+(F of a normalized pmf), the product over dc-1 edges is
+exp(sum log|F| - log|F_e|) with an XOR-style sign product. Messages stay
+log-domain between phases; each phase renormalizes.
+
+The pure-XLA path below is the semantic reference; kernels/cn_qspa.py holds
+the fused Pallas kernel (K1) with identical semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nbldpc_tpu.decoders import common
+from nbldpc_tpu.graph import TannerGraph
+from nbldpc_tpu.kernels.wht import wht
+
+# Floor for prob-domain extrinsics before re-entering log domain. Shared with
+# the numpy oracle (tests/reference_model.py) so hard decisions match.
+PROB_FLOOR = 1e-12
+MAG_TINY = 1e-30
+
+
+def qspa_cn_update(V: jnp.ndarray, graph: TannerGraph) -> jnp.ndarray:
+    """Check-node update. V, returns C: [B, M, dc_max, q] log-domain."""
+    q = graph.q
+    U = graph.permute_down(V)                       # U(a) = V(h^{-1} a)
+    P = jax.nn.softmax(U, axis=-1)                  # prob domain, sums to 1
+    # Padding slots must be the convolution identity: delta at symbol 0
+    # (WHT(delta_0) = all-ones -> multiplicative identity).
+    delta0 = jnp.zeros((q,), P.dtype).at[0].set(1.0)
+    P = jnp.where(graph.cn_mask[None, :, :, None], P, delta0)
+    F = wht(P)                                      # [B, M, dc, q], |F| <= 1
+    sign = jnp.where(F < 0, -1.0, 1.0).astype(P.dtype)
+    logmag = jnp.log(jnp.abs(F) + MAG_TINY)
+    # leave-one-out across the dc axis
+    lsum = jnp.sum(logmag, axis=2, keepdims=True)
+    ssum = jnp.prod(sign, axis=2, keepdims=True)
+    G = (ssum * sign) * jnp.exp(lsum - logmag)      # sign^2 = 1 removes self
+    Q = wht(G) / q                                  # inverse WHT
+    Q = jnp.maximum(Q, PROB_FLOOR)
+    Chat = jnp.log(Q)
+    C = graph.permute_up(Chat)                      # C(a) = Chat(h a)
+    C = C - jnp.max(C, axis=-1, keepdims=True)
+    return jnp.where(graph.cn_mask[None, :, :, None], C, 0.0)
+
+
+def decode(
+    graph: TannerGraph, llr: jnp.ndarray, max_iters: int = 20, early_term: bool = True
+) -> common.DecodeResult:
+    """QSPA decode of a batch: llr [B, N, q] -> DecodeResult."""
+    return common.decode(graph, llr, qspa_cn_update, max_iters, early_term)

@@ -1,0 +1,146 @@
+"""Tanner graph as dense padded index arrays for XLA gather/scatter decoding.
+
+TPU-native design (SURVEY.md §2.1 C3, §2.2 K4): instead of the C++
+reference's per-node pointer/edge lists, the graph is compiled into dense
+[M, dc_max] / [N, dv_max] index matrices (padded + masked for irregular
+codes) so every check-node and variable-node phase is a reshape + gather —
+static shapes, no ragged ops, XLA-tileable.
+
+Edge ordering is CN-major: edge slot (m, j) has flat id m * dc_max + j.
+Messages live as [B, M, dc_max, q]; the VN phase gathers them into
+[B, N, dv_max, q] via `vn_edge` and scatters back via the inverse
+permutation `cn_slot_of_vn_slot` (a bijection between real slots, so the
+scatter is itself a gather).
+
+GF edge weights are precompiled into *permutation tables* (SURVEY.md K4):
+  perm_down[m, j, a] = h_mj^{-1} * a   (variable->check: U(a) = V[perm_down])
+  perm_up[m, j, a]   = h_mj * a        (check->variable: C(a) = Chat[perm_up])
+so no field arithmetic runs in the decode loop — only index gathers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from nbldpc_tpu.code import CodeSpec
+from nbldpc_tpu.gf import get_field
+
+
+class TannerGraph:
+    """Device-resident padded array form of a CodeSpec's Tanner graph."""
+
+    def __init__(self, spec: CodeSpec):
+        self.spec = spec
+        gf = get_field(spec.q)
+        self.gf = gf
+        q, n, m = spec.q, spec.n, spec.m
+        dc = spec.dc
+        dv = spec.dv
+        dc_max = int(dc.max())
+        dv_max = int(dv.max())
+        self.q, self.n, self.m = q, n, m
+        self.dc_max, self.dv_max = dc_max, dv_max
+        self.num_edges = spec.num_edges
+
+        cn_vn = np.zeros((m, dc_max), dtype=np.int32)          # pad -> vn 0
+        cn_w = np.ones((m, dc_max), dtype=np.int32)            # pad -> weight 1
+        cn_mask = np.zeros((m, dc_max), dtype=bool)
+        for mi, (cols, vals) in enumerate(zip(spec.row_cols, spec.row_vals)):
+            cn_vn[mi, : len(cols)] = cols
+            cn_w[mi, : len(cols)] = vals
+            cn_mask[mi, : len(cols)] = True
+
+        # VN-side slots: for each variable, the flat CN-major edge ids of its
+        # incident edges; pad slots point at the appended dummy row (id m*dc_max).
+        vn_edge = np.full((n, dv_max), m * dc_max, dtype=np.int32)
+        vn_fill = np.zeros(n, dtype=np.int32)
+        cn_slot_of_vn_slot = np.full((m, dc_max), n * dv_max, dtype=np.int32)
+        for mi in range(m):
+            for j in range(int(dc[mi])):
+                v = int(cn_vn[mi, j])
+                s = int(vn_fill[v])
+                vn_edge[v, s] = mi * dc_max + j
+                cn_slot_of_vn_slot[mi, j] = v * dv_max + s
+                vn_fill[v] += 1
+        assert np.array_equal(vn_fill, dv), "edge bookkeeping mismatch"
+        vn_mask = np.arange(dv_max)[None, :] < dv[:, None]
+
+        # GF-weight permutation tables [M, dc_max, q] (K4)
+        a = np.arange(q, dtype=np.int64)
+        w = cn_w.astype(np.int64)
+        perm_down = gf.mul[gf.inv[w][:, :, None], a[None, None, :]]
+        perm_up = gf.mul[w[:, :, None], a[None, None, :]]
+
+        # host copies
+        self.cn_vn_np = cn_vn
+        self.cn_w_np = cn_w
+        self.cn_mask_np = cn_mask
+        self.vn_edge_np = vn_edge
+        self.vn_mask_np = vn_mask
+
+        # device constants
+        self.cn_vn = jnp.asarray(cn_vn)
+        self.cn_w = jnp.asarray(cn_w)
+        self.cn_mask = jnp.asarray(cn_mask)
+        self.vn_edge = jnp.asarray(vn_edge)
+        self.vn_mask = jnp.asarray(vn_mask)
+        self.cn_slot_of_vn_slot = jnp.asarray(cn_slot_of_vn_slot)
+        self.perm_down = jnp.asarray(perm_down.astype(np.int32))
+        self.perm_up = jnp.asarray(perm_up.astype(np.int32))
+        self.mul = jnp.asarray(gf.mul)
+
+    # ---- message routing (pure gathers; batch dims lead) ----
+
+    def gather_vn(self, C: jnp.ndarray) -> jnp.ndarray:
+        """CN-major messages [B, M, dc_max, q] -> VN-major [B, N, dv_max, q].
+
+        Pad VN slots read an appended all-zero dummy row (log-domain identity).
+        """
+        B = C.shape[0]
+        flat = C.reshape(B, self.m * self.dc_max, self.q)
+        flat = jnp.concatenate([flat, jnp.zeros((B, 1, self.q), C.dtype)], axis=1)
+        out = jnp.take(flat, self.vn_edge.reshape(-1), axis=1)
+        return out.reshape(B, self.n, self.dv_max, self.q)
+
+    def gather_cn(self, Vv: jnp.ndarray) -> jnp.ndarray:
+        """VN-major messages [B, N, dv_max, q] -> CN-major [B, M, dc_max, q].
+
+        Pad CN slots read an appended all-zero dummy row; CN updates must mask
+        them anyway (cn_mask).
+        """
+        B = Vv.shape[0]
+        flat = Vv.reshape(B, self.n * self.dv_max, self.q)
+        flat = jnp.concatenate([flat, jnp.zeros((B, 1, self.q), Vv.dtype)], axis=1)
+        out = jnp.take(flat, self.cn_slot_of_vn_slot.reshape(-1), axis=1)
+        return out.reshape(B, self.m, self.dc_max, self.q)
+
+    def permute_down(self, V: jnp.ndarray) -> jnp.ndarray:
+        """Apply per-edge GF weight: U(a) = V(h^{-1} a). V: [B, M, dc_max, q]."""
+        return jnp.take_along_axis(V, self.perm_down[None], axis=-1)
+
+    def permute_up(self, Chat: jnp.ndarray) -> jnp.ndarray:
+        """Inverse weight map: C(a) = Chat(h a). Chat: [B, M, dc_max, q]."""
+        return jnp.take_along_axis(Chat, self.perm_up[None], axis=-1)
+
+    def syndrome(self, hard: jnp.ndarray) -> jnp.ndarray:
+        """hard [B, N] int32 -> syndrome [B, M] int32 (0 == satisfied).
+
+        s_m = XOR_j mul[h_mj, hard[vn_mj]] over real slots (SURVEY.md C12).
+        """
+        sym = jnp.take(hard, self.cn_vn.reshape(-1), axis=-1).reshape(
+            hard.shape[0], self.m, self.dc_max
+        )
+        prod = self.mul[self.cn_w[None], sym]
+        prod = jnp.where(self.cn_mask[None], prod, 0)
+        # XOR-reduce over the dc axis
+        return jax_xor_reduce(prod, axis=-1)
+
+
+def jax_xor_reduce(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    import jax
+
+    return jax.lax.reduce(
+        x, np.int32(0), jax.lax.bitwise_xor, dimensions=(axis % x.ndim,)
+    )

@@ -1,0 +1,242 @@
+"""Monte-Carlo BER/SER/FER simulation engine (SURVEY.md C13, §3.3).
+
+One jitted `sim_step` processes [S, B] frames — all SNR points in a single
+compiled kernel (per-SNR sigma enters as data, not as a shape), batched over
+frames. The host loop accumulates per-SNR counters until every SNR point
+hits its stop criterion (max frames or max frame errors). Under a mesh the
+[S, B] axes shard over ('snr', 'data') and the counter reduction becomes the
+only cross-device collective.
+
+Reproducibility: the PRNG key for macro-batch t is fold_in(seed_key, t); the
+same total frame set is simulated for any mesh shape / process count
+(determinism contract, SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nbldpc_tpu.channel import ebn0_to_sigma, llr_init, modulate
+from nbldpc_tpu.decoders import common, ems, qspa, tems
+from nbldpc_tpu.encode import Encoder
+from nbldpc_tpu.gf import get_field
+from nbldpc_tpu.graph import TannerGraph
+from nbldpc_tpu.utils.config import DecoderConfig, RunConfig
+
+
+def get_cn_update(dec: DecoderConfig):
+    if dec.kind == "qspa":
+        return qspa.qspa_cn_update
+    if dec.kind == "ems":
+        return functools.partial(ems.ems_cn_update, nm=dec.nm, offset=dec.offset)
+    if dec.kind == "tems":
+        return functools.partial(tems.tems_cn_update, offset=dec.offset)
+    raise ValueError(f"unknown decoder kind {dec.kind!r}")
+
+
+@dataclasses.dataclass
+class Counters:
+    """Per-SNR Monte-Carlo accumulators (host-side numpy)."""
+
+    frames: np.ndarray
+    frame_errors: np.ndarray
+    symbol_errors: np.ndarray
+    bit_errors: np.ndarray
+    iter_sum: np.ndarray
+    converged: np.ndarray
+
+    @staticmethod
+    def zeros(s: int) -> "Counters":
+        z = lambda: np.zeros(s, dtype=np.int64)
+        return Counters(z(), z(), z(), z(), z(), z())
+
+    def add(self, step_out: dict) -> None:
+        for f in dataclasses.fields(self):
+            getattr(self, f.name)[...] += np.asarray(step_out[f.name], np.int64)
+
+    def asdict(self) -> dict:
+        return {f.name: getattr(self, f.name).tolist() for f in dataclasses.fields(self)}
+
+
+def make_sim_step(
+    graph: TannerGraph,
+    dec: DecoderConfig,
+    batch_per_snr: int,
+    n_snr: int,
+    zero_codeword: bool = True,
+    encoder: Optional[Encoder] = None,
+    dtype=jnp.float32,
+) -> Callable:
+    """Build the jittable step: (key, sigmas [S]) -> per-SNR counter dict.
+
+    The step generates S*B frames, pushes them through
+    (encode ->) modulate -> AWGN -> llr_init -> decode, and reduces error
+    counters over the frame axis.
+    """
+    gf = get_field(graph.q)
+    cn_update = get_cn_update(dec)
+    popcount = jnp.asarray(gf.bits.sum(axis=1).astype(np.int32))  # bits per symbol
+    S, B, N, p = n_snr, batch_per_snr, graph.n, gf.p
+    if not zero_codeword and encoder is None:
+        raise ValueError("random-codeword mode needs an encoder")
+
+    def step(key, sigmas):
+        kn, kd = jax.random.split(key)
+        sig = sigmas.astype(dtype)[:, None, None, None]           # [S,1,1,1]
+        if zero_codeword:
+            cw = jnp.zeros((S, B, N), jnp.int32)
+            x = jnp.ones((S, B, N, p), dtype)
+        else:
+            u = jax.random.randint(kd, (S, B, encoder.k), 0, graph.q, dtype=jnp.int32)
+            cw = encoder.encode(u)
+            x = modulate(cw, graph.q)
+        y = x + sig * jax.random.normal(kn, x.shape, dtype)
+        llr = llr_init(y, sig, graph.q)                           # [S,B,N,q]
+        res = common.decode(
+            graph,
+            llr.reshape(S * B, N, graph.q),
+            cn_update,
+            dec.max_iters,
+            dec.early_term,
+        )
+        hard = res.hard.reshape(S, B, N)
+        sym_err = (hard != cw).astype(jnp.int32)                  # [S,B,N]
+        bit_err = popcount[hard ^ cw]
+        frame_err = jnp.any(sym_err > 0, axis=-1)
+        return {
+            "frames": jnp.full((S,), B, jnp.int32),
+            "frame_errors": jnp.sum(frame_err, axis=1).astype(jnp.int32),
+            "symbol_errors": jnp.sum(sym_err, axis=(1, 2)),
+            "bit_errors": jnp.sum(bit_err, axis=(1, 2)),
+            "iter_sum": jnp.sum(res.iters.reshape(S, B), axis=1),
+            "converged": jnp.sum(res.done.reshape(S, B).astype(jnp.int32), axis=1),
+        }
+
+    return step
+
+
+@dataclasses.dataclass
+class SweepResult:
+    ebn0_db: list
+    counters: Counters
+    wall_seconds: float
+    steps: int
+    config_hash: str = ""
+
+    @property
+    def ber(self):
+        p = np.maximum(self.counters.frames, 1)
+        return self.counters.bit_errors / (p * self._bits_per_frame)
+
+    def finalize(self, n_symbols: int, p_bits: int):
+        self._bits_per_frame = n_symbols * p_bits
+        self._syms_per_frame = n_symbols
+        return self
+
+    @property
+    def ser(self):
+        f = np.maximum(self.counters.frames, 1)
+        return self.counters.symbol_errors / (f * self._syms_per_frame)
+
+    @property
+    def fer(self):
+        f = np.maximum(self.counters.frames, 1)
+        return self.counters.frame_errors / f
+
+    @property
+    def avg_iters(self):
+        f = np.maximum(self.counters.frames, 1)
+        return self.counters.iter_sum / f
+
+    @property
+    def throughput_syms_per_s(self):
+        total = int(self.counters.frames.sum()) * self._syms_per_frame
+        return total / max(self.wall_seconds, 1e-9)
+
+    def table(self) -> str:
+        rows = ["Eb/N0(dB)   frames      BER         SER         FER      avg_iters"]
+        for i, snr in enumerate(self.ebn0_db):
+            rows.append(
+                f"{snr:8.2f} {self.counters.frames[i]:9d}"
+                f"  {self.ber[i]:.4e}  {self.ser[i]:.4e}  {self.fer[i]:.4e}"
+                f"  {self.avg_iters[i]:8.2f}"
+            )
+        return "\n".join(rows)
+
+
+def run_sweep(
+    cfg: RunConfig,
+    mesh=None,
+    progress: Optional[Callable[[int, Counters], None]] = None,
+) -> SweepResult:
+    """Full Monte-Carlo sweep per RunConfig. Single- or multi-device."""
+    spec = cfg.code.load()
+    graph = TannerGraph(spec)
+    gf = get_field(spec.q)
+    encoder = None if cfg.channel.zero_codeword else Encoder(spec)
+    snrs = list(cfg.channel.ebn0_db)
+    S, B = len(snrs), cfg.sim.frames_per_step
+    rate = spec.k / spec.n
+    sigmas = jnp.asarray([float(ebn0_to_sigma(s, rate)) for s in snrs])
+
+    step = make_sim_step(
+        graph, cfg.decoder, B, S, cfg.channel.zero_codeword, encoder
+    )
+    if mesh is not None:
+        from nbldpc_tpu.parallel.mesh import sim_shardings
+
+        sh = sim_shardings(mesh)
+        step = jax.jit(
+            step,
+            in_shardings=(sh["replicated"], sh["per_snr"]),
+            out_shardings=sh["per_snr"],
+        )
+    else:
+        step = jax.jit(step)
+
+    counters = Counters.zeros(S)
+    key0 = jax.random.PRNGKey(cfg.sim.seed)
+    start_t = 0
+    ckpt = None
+    if cfg.sim.checkpoint_path:
+        from nbldpc_tpu.utils.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(cfg.sim.checkpoint_path, cfg.config_hash())
+        resumed = ckpt.load()
+        if resumed is not None:
+            start_t, counters = resumed
+
+    t0 = time.perf_counter()
+    t = start_t
+    while True:
+        done = (counters.frames >= cfg.sim.max_frames) | (
+            counters.frame_errors >= cfg.sim.max_frame_errors
+        )
+        if bool(np.all(done)):
+            break
+        out = step(jax.random.fold_in(key0, t), sigmas)
+        counters.add(jax.device_get(out))
+        t += 1
+        if progress:
+            progress(t, counters)
+        if ckpt and cfg.sim.checkpoint_every and t % cfg.sim.checkpoint_every == 0:
+            ckpt.save(t, counters)
+    wall = time.perf_counter() - t0
+    if ckpt:
+        ckpt.save(t, counters)
+    res = SweepResult(
+        ebn0_db=snrs,
+        counters=counters,
+        wall_seconds=wall,
+        steps=t - start_t,
+        config_hash=cfg.config_hash(),
+    )
+    return res.finalize(spec.n, gf.p)

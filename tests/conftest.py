@@ -1,0 +1,52 @@
+"""Test env: force CPU with 8 virtual devices BEFORE jax initializes.
+
+SURVEY.md §4.6: mesh/sharding tests run against
+--xla_force_host_platform_device_count=8 fake CPU devices; real-TPU kernel
+tests are opt-in via NBLDPC_TPU_TESTS=1 (the dev box has one chip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Persistent compilation cache: this dev box has 2 cores and XLA compiles are
+# the dominant test cost; cached executables make re-runs fast.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nbldpc_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_codes():
+    """Tiny + small codes used across tests, built once."""
+    from nbldpc_tpu.codegen import make_peg_code
+
+    return {
+        "gf4_tiny": make_peg_code(12, 6, 4, dv=2, seed=7),
+        "gf16_tiny": make_peg_code(16, 8, 16, dv=2, seed=7),
+        "gf4_n96": make_peg_code(96, 48, 4, dv=2, seed=1),
+    }
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long statistical tests")
+    config.addinivalue_line("markers", "tpu: requires a real TPU device")
+
+
+def pytest_collection_modifyitems(config, items):
+    run_slow = os.environ.get("NBLDPC_SLOW_TESTS") == "1"
+    run_tpu = os.environ.get("NBLDPC_TPU_TESTS") == "1"
+    skip_slow = pytest.mark.skip(reason="set NBLDPC_SLOW_TESTS=1 to run")
+    skip_tpu = pytest.mark.skip(reason="set NBLDPC_TPU_TESTS=1 to run")
+    for item in items:
+        if "slow" in item.keywords and not run_slow:
+            item.add_marker(skip_slow)
+        if "tpu" in item.keywords and not run_tpu:
+            item.add_marker(skip_tpu)

@@ -1,0 +1,268 @@
+"""Slow, loop-based numpy reference decoders (the in-repo test oracle).
+
+IMPORTANT PROVENANCE NOTE: the upstream C++ reference (YongonY/NBLDPC) was
+NOT available in any session (/root/reference is empty — SURVEY.md §0), so
+this module is the executable stand-in oracle demanded by SURVEY.md §4.2:
+written directly from the textbook QSPA/EMS/T-EMS equations (Davey–MacKay;
+Declercq–Fossorier; Li et al.), deliberately loop-based and independent of
+the JAX implementation's vectorization choices. In particular the QSPA
+check-node convolution here is computed DIRECTLY over GF(q) configurations
+(O(q^2) xor-convolution), not via the Walsh–Hadamard transform — so a WHT
+bug in the framework cannot cancel out in the golden tests.
+
+Numerics shared with the framework (so hard decisions match frame-for-frame):
+prob-domain floor PROB_FLOOR, log-domain normalization by max.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nbldpc_tpu.gf import get_field
+
+PROB_FLOOR = 1e-12
+
+
+def _softmax(v):
+    v = v - v.max()
+    e = np.exp(v)
+    return e / e.sum()
+
+
+def _xor_conv(p1, p2):
+    """Convolution over (GF(2^p), +): out[a] = sum_b p1[b] p2[a ^ b]."""
+    q = len(p1)
+    out = np.zeros(q)
+    for b in range(q):
+        for c in range(q):
+            out[b ^ c] += p1[b] * p2[c]
+    return out
+
+
+class OracleDecoder:
+    """Flooding-schedule BP with pluggable CN update, one frame at a time."""
+
+    def __init__(self, spec, kind="qspa", nm=None, offset=0.0):
+        self.spec = spec
+        self.gf = get_field(spec.q)
+        self.kind = kind
+        self.nm = nm
+        self.offset = offset
+
+    # --- shared pieces -------------------------------------------------
+    def syndrome_ok(self, hard):
+        gf = self.gf
+        for cols, vals in zip(self.spec.row_cols, self.spec.row_vals):
+            s = 0
+            for c, w in zip(cols, vals):
+                s ^= int(gf.mul[w, hard[c]])
+            if s != 0:
+                return False
+        return True
+
+    def decode(self, llr, max_iters, early_term=True, return_messages=False):
+        """llr: [N, q] float. Returns (hard [N], done, iters[, C messages])."""
+        spec, gf = self.spec, self.gf
+        q = spec.q
+        llr = np.asarray(llr, dtype=np.float64)
+        llr = llr - llr.max(axis=-1, keepdims=True)
+        # messages keyed by (check index, slot) — C[m][j] is a length-q array
+        C = [
+            [np.zeros(q) for _ in range(len(spec.row_cols[m]))]
+            for m in range(spec.m)
+        ]
+        hard = np.argmax(llr, axis=-1).astype(np.int64)
+        if early_term and self.syndrome_ok(hard):
+            return (hard, True, 0) + ((C,) if return_messages else ())
+        done = False
+        iters = 0
+        for _ in range(max_iters):
+            if early_term and done:
+                break
+            iters += 1
+            # VN phase: V[m][j] = llr[v] + sum_{other checks} C - own C
+            totals = llr.copy()
+            for m in range(spec.m):
+                for j, v in enumerate(spec.row_cols[m]):
+                    totals[v] += C[m][j]
+            V = [
+                [None] * len(spec.row_cols[m]) for m in range(spec.m)
+            ]
+            for m in range(spec.m):
+                for j, v in enumerate(spec.row_cols[m]):
+                    msg = totals[v] - C[m][j]
+                    V[m][j] = msg - msg.max()
+            # CN phase
+            if self.kind == "qspa":
+                C = self._cn_qspa(V)
+            elif self.kind == "ems":
+                C = self._cn_ems(V)
+            elif self.kind == "tems":
+                C = self._cn_tems(V)
+            else:
+                raise ValueError(self.kind)
+            # decision
+            totals = llr.copy()
+            for m in range(spec.m):
+                for j, v in enumerate(spec.row_cols[m]):
+                    totals[v] += C[m][j]
+            hard = np.argmax(totals, axis=-1).astype(np.int64)
+            done = self.syndrome_ok(hard)
+            if done and early_term:
+                break
+        out = (hard, done, iters)
+        return out + ((C,) if return_messages else ())
+
+    # --- QSPA: direct xor-convolution in the prob domain ----------------
+    def _cn_qspa(self, V):
+        spec, gf = self.spec, self.gf
+        q = spec.q
+        C = []
+        for m in range(spec.m):
+            vals = spec.row_vals[m]
+            dc = len(vals)
+            # permute into the "x = h*c" domain: U(a) = P(h^{-1} a)
+            U = []
+            for j in range(dc):
+                P = _softmax(V[m][j])
+                hinv = gf.inv[vals[j]]
+                perm = gf.mul[hinv, np.arange(q)]
+                U.append(P[perm])
+            row = []
+            for j in range(dc):
+                # direct conv of all other edges' pmfs
+                acc = np.zeros(q)
+                acc[0] = 1.0
+                for j2 in range(dc):
+                    if j2 != j:
+                        acc = _xor_conv(acc, U[j2])
+                acc = np.maximum(acc, PROB_FLOOR)
+                chat = np.log(acc)
+                # inverse permute: C(a) = chat(h a)
+                perm = gf.mul[vals[j], np.arange(q)]
+                c = chat[perm]
+                c = c - c.max()
+                row.append(c)
+            C.append(row)
+        return C
+
+    # --- EMS: nm-truncated max-sum xor-convolution -----------------------
+    @staticmethod
+    def _ems_merge(acc, u, nm):
+        """Elementary EMS merge: scan the stable top-nm entries of `u`
+        (ties broken toward lower GF index, = lax.top_k order), gather `acc`
+        densely: out[a] = max_t u[t] + acc[a ^ idx_t]. Mirrors
+        nbldpc_tpu.decoders.ems._merge exactly."""
+        q = len(acc)
+        order = np.argsort(-u, kind="stable")[:nm]
+        out = np.full(q, -1e30)
+        for t in order:
+            for a in range(q):
+                cand = u[t] + acc[a ^ t]
+                if cand > out[a]:
+                    out[a] = cand
+        return out
+
+    def _cn_ems(self, V):
+        """Extended Min-Sum via forward/backward elementary merges over
+        top-nm configuration sets, offset correction. Semantics identical to
+        nbldpc_tpu.decoders.ems (forward/backward partials gathered densely,
+        scanned operand truncated to stable top-nm at every merge)."""
+        spec, gf = self.spec, self.gf
+        q = spec.q
+        nm = min(self.nm or q, q)
+        NEG = -1e30
+        C = []
+        for m in range(spec.m):
+            vals = spec.row_vals[m]
+            dc = len(vals)
+            U = []
+            for j in range(dc):
+                msg = V[m][j] - V[m][j].max()
+                hinv = gf.inv[vals[j]]
+                perm = gf.mul[hinv, np.arange(q)]
+                U.append(msg[perm])
+            d0 = np.full(q, NEG)
+            d0[0] = 0.0
+            # forward prefix-exclusive, backward suffix-exclusive partials
+            F = [d0]
+            for j in range(dc - 1):
+                F.append(self._ems_merge(F[-1], U[j], nm))
+            B = [d0]
+            for j in range(dc - 1, 0, -1):
+                B.append(self._ems_merge(B[-1], U[j], nm))
+            B = B[::-1]  # B[j] = merge of U[j+1..dc-1]
+            row = []
+            for j in range(dc):
+                acc = self._ems_merge(F[j], B[j], nm)
+                acc = np.minimum(acc - acc.max() + self.offset, 0.0)
+                acc = np.maximum(acc, NEG)
+                perm = gf.mul[vals[j], np.arange(q)]
+                row.append(acc[perm])
+            C.append(row)
+        return C
+
+    # --- T-EMS: delta-domain trellis with <=2 deviations ------------------
+    def _cn_tems(self, V):
+        """Trellis-EMS (Li/Declercq/Gunnam): delta-domain, one- and
+        two-deviation paths from per-row (min1, argmin, min2); two-deviation
+        column collisions fixed with min2 substitution. Matches
+        nbldpc_tpu.decoders.tems exactly (same approximation)."""
+        spec, gf = self.spec, self.gf
+        q = spec.q
+        NEG = -1e30
+        C = []
+        for m in range(spec.m):
+            vals = spec.row_vals[m]
+            dc = len(vals)
+            U = np.zeros((dc, q))
+            z = np.zeros(dc, dtype=np.int64)
+            for j in range(dc):
+                msg = V[m][j] - V[m][j].max()
+                hinv = gf.inv[vals[j]]
+                perm = gf.mul[hinv, np.arange(q)]
+                u = msg[perm]
+                z[j] = int(np.argmax(u))
+                U[j] = u[np.arange(q) ^ z[j]] - u[z[j]]   # delta domain, <= 0
+            beta = 0
+            for j in range(dc):
+                beta ^= int(z[j])
+            # per-row top-3 (value, column) over the dc columns. Padding the
+            # column axis to >= 3 with NEG keeps the scheme well-defined for
+            # tiny dc; the framework does the same.
+            Upad = np.concatenate([U, np.full((max(0, 3 - dc), q), NEG)], axis=0)
+            order = np.argsort(-Upad, axis=0, kind="stable")
+            t_col = order[:3]                        # [3, q]
+            t_val = np.take_along_axis(Upad, t_col, axis=0)  # [3, q]
+            # extrinsic for each column j and each total deviation eta
+            row = []
+            for j in range(dc):
+                # best / second-best per row with column j excluded
+                is_j = t_col == j                    # [3, q]
+                m1x = np.where(is_j[0], t_val[1], t_val[0])
+                c1x = np.where(is_j[0], t_col[1], t_col[0])
+                m2x = np.where(
+                    is_j[0], t_val[2], np.where(is_j[1], t_val[2], t_val[1])
+                )
+                dw = np.full(q, NEG)
+                dw[0] = 0.0
+                for eta in range(1, q):
+                    best = m1x[eta]                  # one deviation
+                    for e1 in range(1, q):
+                        e2 = eta ^ e1
+                        if e2 == 0 or e1 > e2:
+                            continue
+                        if c1x[e1] != c1x[e2]:
+                            cand = m1x[e1] + m1x[e2]
+                        else:  # column collision: substitute second-best
+                            cand = max(m1x[e1] + m2x[e2], m2x[e1] + m1x[e2])
+                        if cand > best:
+                            best = cand
+                    dw[eta] = best
+                # back to normal domain: C_j(a) = dW(a ^ beta ^ z_j)
+                out = dw[np.arange(q) ^ (beta ^ z[j])]
+                out = np.minimum(out - out.max() + self.offset, 0.0)
+                perm = gf.mul[vals[j], np.arange(q)]
+                row.append(np.maximum(out[perm], NEG))
+            C.append(row)
+        return C

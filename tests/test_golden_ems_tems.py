@@ -1,0 +1,138 @@
+"""Golden tests: EMS and T-EMS vs the numpy oracle (SURVEY.md §4.2)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from nbldpc_tpu import decoders
+from nbldpc_tpu.decoders import common, ems, tems
+
+from tests.reference_model import OracleDecoder
+from tests.test_golden import _noisy_llrs
+
+
+def _one_iter_messages(g, llr, cn_update):
+    import jax
+
+    @jax.jit
+    def one_iter(llr_j):
+        llr_n = llr_j - jnp.max(llr_j, axis=-1, keepdims=True)
+        C0 = jnp.zeros((llr_j.shape[0], g.m, g.dc_max, g.q), jnp.float32)
+        V, _, _ = common.vn_update(g, llr_n, C0)
+        return cn_update(V, g)
+
+    return np.array(one_iter(jnp.asarray(llr)))
+
+
+@pytest.mark.parametrize("nm", [4, 8, 16])
+def test_ems_messages_one_iter(small_codes, nm):
+    spec = small_codes["gf16_tiny"]
+    g, cw, llr = _noisy_llrs(spec, 3, 2.0, seed=11)
+    oracle = OracleDecoder(spec, kind="ems", nm=nm)
+    C1 = _one_iter_messages(
+        g, llr, lambda V, gg: ems.ems_cn_update(V, gg, nm=nm, offset=0.0)
+    )
+    for b in range(llr.shape[0]):
+        _, _, _, C_o = oracle.decode(
+            llr[b], max_iters=1, early_term=False, return_messages=True
+        )
+        for m in range(spec.m):
+            for j in range(len(spec.row_cols[m])):
+                np.testing.assert_allclose(
+                    C1[b, m, j], C_o[m][j], rtol=2e-3, atol=2e-3,
+                    err_msg=f"nm={nm} frame {b} check {m} slot {j}",
+                )
+
+
+def test_ems_hard_decisions_match(small_codes):
+    spec = small_codes["gf16_tiny"]
+    g, cw, llr = _noisy_llrs(spec, 16, 2.5, seed=12)
+    oracle = OracleDecoder(spec, kind="ems", nm=8)
+    res = ems.decode(g, jnp.asarray(llr), max_iters=6, nm=8)
+    hard_j = np.array(res.hard)
+    for b in range(llr.shape[0]):
+        hard_o, done_o, iters_o = oracle.decode(llr[b], max_iters=6)
+        np.testing.assert_array_equal(hard_j[b], hard_o, err_msg=f"frame {b}")
+        assert bool(np.array(res.done)[b]) == done_o
+        assert int(np.array(res.iters)[b]) == iters_o
+
+
+def test_ems_offset_matches(small_codes):
+    spec = small_codes["gf4_tiny"]
+    g, cw, llr = _noisy_llrs(spec, 4, 2.0, seed=13)
+    oracle = OracleDecoder(spec, kind="ems", nm=4, offset=0.3)
+    C1 = _one_iter_messages(
+        g, llr, lambda V, gg: ems.ems_cn_update(V, gg, nm=4, offset=0.3)
+    )
+    for b in range(llr.shape[0]):
+        _, _, _, C_o = oracle.decode(
+            llr[b], max_iters=1, early_term=False, return_messages=True
+        )
+        for m in range(spec.m):
+            for j in range(len(spec.row_cols[m])):
+                np.testing.assert_allclose(
+                    C1[b, m, j], C_o[m][j], rtol=2e-3, atol=2e-3
+                )
+
+
+def test_tems_messages_one_iter(small_codes):
+    spec = small_codes["gf16_tiny"]
+    g, cw, llr = _noisy_llrs(spec, 3, 2.0, seed=14)
+    oracle = OracleDecoder(spec, kind="tems")
+    C1 = _one_iter_messages(g, llr, tems.tems_cn_update)
+    for b in range(llr.shape[0]):
+        _, _, _, C_o = oracle.decode(
+            llr[b], max_iters=1, early_term=False, return_messages=True
+        )
+        for m in range(spec.m):
+            for j in range(len(spec.row_cols[m])):
+                np.testing.assert_allclose(
+                    C1[b, m, j], C_o[m][j], rtol=2e-3, atol=2e-3,
+                    err_msg=f"frame {b} check {m} slot {j}",
+                )
+
+
+def test_tems_hard_decisions_match(small_codes):
+    spec = small_codes["gf16_tiny"]
+    g, cw, llr = _noisy_llrs(spec, 12, 3.0, seed=15)
+    oracle = OracleDecoder(spec, kind="tems")
+    res = tems.decode(g, jnp.asarray(llr), max_iters=6)
+    hard_j = np.array(res.hard)
+    for b in range(llr.shape[0]):
+        hard_o, done_o, iters_o = oracle.decode(llr[b], max_iters=6)
+        np.testing.assert_array_equal(hard_j[b], hard_o, err_msg=f"frame {b}")
+        assert bool(np.array(res.done)[b]) == done_o
+
+
+def test_ems_nm_full_equals_maxsum(small_codes):
+    """EMS with nm=q on noiseless input behaves like exact max-sum: decodes
+    a clean codeword immediately (SURVEY.md §4.3 sanity)."""
+    from nbldpc_tpu.channel import perfect_llr
+    from nbldpc_tpu.encode import Encoder
+    from nbldpc_tpu.graph import TannerGraph
+
+    spec = small_codes["gf16_tiny"]
+    g = TannerGraph(spec)
+    enc = Encoder(spec)
+    u = jnp.arange(4, dtype=jnp.int32)[:, None] * jnp.ones((1, enc.k), jnp.int32)
+    u = u % spec.q
+    cw = enc.encode(u)
+    llr = perfect_llr(cw, spec.q)
+    res = ems.decode(g, llr, max_iters=4, nm=spec.q)
+    assert np.all(np.array(res.done))
+    np.testing.assert_array_equal(np.array(res.hard), np.array(cw))
+
+
+def test_tems_noiseless(small_codes):
+    from nbldpc_tpu.channel import perfect_llr
+    from nbldpc_tpu.encode import Encoder
+    from nbldpc_tpu.graph import TannerGraph
+
+    spec = small_codes["gf4_tiny"]
+    g = TannerGraph(spec)
+    enc = Encoder(spec)
+    cw = enc.encode(jnp.zeros((2, enc.k), jnp.int32).at[1, 0].set(1))
+    llr = perfect_llr(cw, spec.q)
+    res = tems.decode(g, llr, max_iters=4)
+    assert np.all(np.array(res.done))
+    np.testing.assert_array_equal(np.array(res.hard), np.array(cw))

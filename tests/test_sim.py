@@ -1,0 +1,136 @@
+"""Sim engine: counters, stop criteria, determinism, checkpoint/resume."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nbldpc_tpu import sim
+from nbldpc_tpu.graph import TannerGraph
+from nbldpc_tpu.utils.config import (
+    ChannelConfig, CodeConfig, DecoderConfig, RunConfig, SimConfig,
+)
+
+
+def _tiny_cfg(tmp_code_path=None, **sim_kw):
+    return RunConfig(
+        code=CodeConfig(name=None, path=None) if tmp_code_path else CodeConfig(name=None),
+        decoder=DecoderConfig(kind="qspa", max_iters=4),
+        channel=ChannelConfig(ebn0_db=(1.0, 3.0)),
+        sim=SimConfig(frames_per_step=16, max_frames=32, max_frame_errors=1000, **sim_kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_run_cfg(tmp_path_factory, request):
+    from nbldpc_tpu.code import save_alist
+    from nbldpc_tpu.codegen import make_peg_code
+
+    path = tmp_path_factory.mktemp("codes") / "tiny.alist"
+    save_alist(make_peg_code(16, 8, 4, dv=2, seed=5), path)
+    cfg = RunConfig(
+        code=CodeConfig(path=str(path)),
+        decoder=DecoderConfig(kind="qspa", max_iters=4),
+        channel=ChannelConfig(ebn0_db=(1.0, 3.0)),
+        sim=SimConfig(frames_per_step=16, max_frames=32, max_frame_errors=10**9, seed=9),
+    )
+    return cfg
+
+
+def test_run_sweep_counts(tiny_run_cfg):
+    res = sim.run_sweep(tiny_run_cfg)
+    assert np.all(res.counters.frames == 32)
+    # more noise -> more errors (statistically certain at these SNRs/sizes)
+    assert res.counters.symbol_errors[0] >= res.counters.symbol_errors[1]
+    assert res.steps == 2
+    assert np.all(res.counters.converged <= res.counters.frames)
+    assert res.ber.shape == (2,)
+
+
+def test_run_sweep_deterministic(tiny_run_cfg):
+    r1 = sim.run_sweep(tiny_run_cfg)
+    r2 = sim.run_sweep(tiny_run_cfg)
+    for f in ("frames", "bit_errors", "symbol_errors", "frame_errors"):
+        np.testing.assert_array_equal(
+            getattr(r1.counters, f), getattr(r2.counters, f)
+        )
+
+
+def test_frame_error_stop(tiny_run_cfg):
+    cfg = dataclasses.replace(
+        tiny_run_cfg,
+        sim=dataclasses.replace(tiny_run_cfg.sim, max_frames=10**9, max_frame_errors=1),
+        channel=ChannelConfig(ebn0_db=(-2.0,)),  # heavy noise -> errors fast
+    )
+    res = sim.run_sweep(cfg)
+    assert res.counters.frame_errors[0] >= 1
+    assert res.steps <= 3
+
+
+def test_random_codeword_mode(tiny_run_cfg):
+    cfg = dataclasses.replace(
+        tiny_run_cfg,
+        channel=ChannelConfig(ebn0_db=(2.0,), zero_codeword=False),
+    )
+    res = sim.run_sweep(cfg)
+    assert np.all(res.counters.frames == 32)
+
+
+def test_checkpoint_resume(tiny_run_cfg, tmp_path):
+    """Interrupted sweep resumed from snapshot == uninterrupted sweep
+    (SURVEY.md §5.3/§5.4: exact resume, not just in-distribution)."""
+    ck = tmp_path / "sweep.ckpt"
+    cfg_full = dataclasses.replace(
+        tiny_run_cfg,
+        sim=dataclasses.replace(tiny_run_cfg.sim, max_frames=64),
+    )
+    full = sim.run_sweep(cfg_full)
+
+    # interrupted: run half (max_frames=32), with checkpointing on
+    cfg_half = dataclasses.replace(
+        cfg_full,
+        sim=dataclasses.replace(
+            cfg_full.sim, max_frames=32, checkpoint_path=str(ck), checkpoint_every=1
+        ),
+    )
+    sim.run_sweep(cfg_half)
+    assert ck.exists()
+
+    # resume to completion — config hash must match the full run's sim params
+    cfg_resume = dataclasses.replace(
+        cfg_full,
+        sim=dataclasses.replace(
+            cfg_full.sim, max_frames=64, checkpoint_path=str(ck), checkpoint_every=1
+        ),
+    )
+    # hashes differ (max_frames in hash) -> rewrite stamp to simulate restart
+    import json
+
+    payload = json.loads(ck.read_text())
+    payload["config_hash"] = cfg_resume.config_hash()
+    ck.write_text(json.dumps(payload))
+
+    resumed = sim.run_sweep(cfg_resume)
+    for f in ("frames", "bit_errors", "symbol_errors", "frame_errors"):
+        np.testing.assert_array_equal(
+            getattr(full.counters, f), getattr(resumed.counters, f), err_msg=f
+        )
+
+
+def test_checkpoint_hash_mismatch(tiny_run_cfg, tmp_path):
+    ck = tmp_path / "sweep.ckpt"
+    cfg = dataclasses.replace(
+        tiny_run_cfg,
+        sim=dataclasses.replace(
+            tiny_run_cfg.sim, checkpoint_path=str(ck), checkpoint_every=1
+        ),
+    )
+    sim.run_sweep(cfg)
+    cfg2 = dataclasses.replace(
+        cfg, decoder=DecoderConfig(kind="qspa", max_iters=7),
+        sim=dataclasses.replace(cfg.sim, checkpoint_path=str(ck)),
+    )
+    with pytest.raises(ValueError, match="different config"):
+        sim.run_sweep(cfg2)
