@@ -23,9 +23,14 @@ from nbldpc_tpu.gf import get_field
 
 
 def ebn0_to_sigma(ebn0_db, rate: float):
-    """Noise std-dev per BPSK dimension for Eb/N0 (dB) at code rate R."""
-    ebn0 = 10.0 ** (jnp.asarray(ebn0_db) / 10.0)
-    return jnp.sqrt(1.0 / (2.0 * rate * ebn0))
+    """Noise std-dev per BPSK dimension for Eb/N0 (dB) at code rate R.
+
+    Host-side numpy: this is setup math, and a jnp scalar here would make
+    every sweep pay a device dispatch (and first-op claim latency) just to
+    read back one float.
+    """
+    ebn0 = 10.0 ** (np.asarray(ebn0_db, dtype=np.float64) / 10.0)
+    return np.sqrt(1.0 / (2.0 * rate * ebn0))
 
 
 def modulate(symbols: jnp.ndarray, q: int) -> jnp.ndarray:

@@ -44,18 +44,23 @@ def vn_update(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Variable-node phase.
 
-    Returns (V, posterior, hard):
-      V [B, M, dc_max, q] — var->check messages (leave-one-out, normalized)
-      posterior [B, N, q] — prior + sum of all extrinsics
+    C is the check->var extrinsic in the x-domain (x = h*c); both gathers
+    fold the GF weight permutation into the routing (graph.down_idx/up_idx),
+    so CN updates are gather-free.
+
+    Returns (U, posterior, hard):
+      U [B, M, dc_max, q] — var->check messages in the x-domain
+                            (leave-one-out, normalized)
+      posterior [B, N, q] — prior + sum of all extrinsics (c-domain)
       hard [B, N] — argmax of posterior
     """
-    Cv = graph.gather_vn(C)                                   # [B, N, dv, q]
+    Cv = graph.gather_vn_x(C)                                 # [B, N, dv, q]
     posterior = llr + jnp.sum(Cv, axis=2)                     # pad rows are 0
     Vv = posterior[:, :, None, :] - Cv                        # leave-one-out
     Vv = Vv - jnp.max(Vv, axis=-1, keepdims=True)             # normalize
-    V = graph.gather_cn(Vv)                                   # [B, M, dc, q]
+    U = graph.gather_cn_x(Vv)                                 # [B, M, dc, q]
     hard = jnp.argmax(posterior, axis=-1).astype(jnp.int32)
-    return V, posterior, hard
+    return U, posterior, hard
 
 
 def decode(
@@ -106,7 +111,7 @@ def decode(
 
 
 def _decision(graph: TannerGraph, llr, C):
-    Cv = graph.gather_vn(C)
+    Cv = graph.gather_vn_x(C)
     posterior = llr + jnp.sum(Cv, axis=2)
     hard = jnp.argmax(posterior, axis=-1).astype(jnp.int32)
     return Cv, posterior, hard

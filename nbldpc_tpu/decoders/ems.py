@@ -37,8 +37,10 @@ NEG = -1e30
 
 @functools.lru_cache(maxsize=8)
 def _xor_table(q: int):
+    # Cache the NUMPY table, never a jnp array: jnp.asarray inside a jit
+    # trace yields a tracer, and lru_cache would leak it across traces.
     a = np.arange(q)
-    return jnp.asarray((a[:, None] ^ a[None, :]).astype(np.int32))  # [q, q]
+    return (a[:, None] ^ a[None, :]).astype(np.int32)  # [q, q]
 
 
 def _delta0(q: int, dtype=jnp.float32):
@@ -63,13 +65,13 @@ def _merge(acc: jnp.ndarray, operand: jnp.ndarray, nm: int, xor_tbl) -> jnp.ndar
 
 
 def ems_cn_update(
-    V: jnp.ndarray, graph: TannerGraph, nm: int = 16, offset: float = 0.0
+    U: jnp.ndarray, graph: TannerGraph, nm: int = 16, offset: float = 0.0
 ) -> jnp.ndarray:
-    """Check-node update. V -> C: [B, M, dc_max, q] log-domain."""
+    """Check-node update, x-domain in/out: [B, M, dc_max, q] log-domain.
+    GF permutations live in the routing gathers (graph.gather_*_x)."""
     q = graph.q
     nm = min(nm, q)
-    xor_tbl = _xor_table(q)
-    U = graph.permute_down(V)
+    xor_tbl = jnp.asarray(_xor_table(q))
     U = U - jnp.max(U, axis=-1, keepdims=True)
     d0 = _delta0(q, U.dtype)
     U = jnp.where(graph.cn_mask[None, :, :, None], U, d0)  # pads: merge identity
@@ -98,8 +100,7 @@ def ems_cn_update(
 
     O = O - jnp.max(O, axis=-1, keepdims=True)
     O = jnp.maximum(jnp.minimum(O + offset, 0.0), NEG)
-    C = graph.permute_up(O)
-    return jnp.where(graph.cn_mask[None, :, :, None], C, 0.0)
+    return jnp.where(graph.cn_mask[None, :, :, None], O, 0.0)
 
 
 def decode(

@@ -35,10 +35,13 @@ PROB_FLOOR = 1e-12
 MAG_TINY = 1e-30
 
 
-def qspa_cn_update(V: jnp.ndarray, graph: TannerGraph) -> jnp.ndarray:
-    """Check-node update. V, returns C: [B, M, dc_max, q] log-domain."""
+def qspa_cn_update(U: jnp.ndarray, graph: TannerGraph) -> jnp.ndarray:
+    """Check-node update, x-domain in and out: [B, M, dc_max, q] log-domain.
+
+    The GF weight permutations live in the routing gathers (graph.gather_*_x),
+    so this update is pure elementwise/WHT/reduction — no gathers (K1 spec).
+    """
     q = graph.q
-    U = graph.permute_down(V)                       # U(a) = V(h^{-1} a)
     P = jax.nn.softmax(U, axis=-1)                  # prob domain, sums to 1
     # Padding slots must be the convolution identity: delta at symbol 0
     # (WHT(delta_0) = all-ones -> multiplicative identity).
@@ -54,9 +57,8 @@ def qspa_cn_update(V: jnp.ndarray, graph: TannerGraph) -> jnp.ndarray:
     Q = wht(G) / q                                  # inverse WHT
     Q = jnp.maximum(Q, PROB_FLOOR)
     Chat = jnp.log(Q)
-    C = graph.permute_up(Chat)                      # C(a) = Chat(h a)
-    C = C - jnp.max(C, axis=-1, keepdims=True)
-    return jnp.where(graph.cn_mask[None, :, :, None], C, 0.0)
+    Chat = Chat - jnp.max(Chat, axis=-1, keepdims=True)
+    return jnp.where(graph.cn_mask[None, :, :, None], Chat, 0.0)
 
 
 def decode(

@@ -76,14 +76,14 @@ def _two_deviation(m1x, c1x, m2x, xor_tbl):
     return jax.lax.fori_loop(0, steps, body, dw0)
 
 
-def tems_cn_update(V: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> jnp.ndarray:
-    """Check-node update. V -> C: [B, M, dc_max, q] log-domain."""
+def tems_cn_update(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> jnp.ndarray:
+    """Check-node update, x-domain in/out: [B, M, dc_max, q] log-domain.
+    GF permutations live in the routing gathers (graph.gather_*_x)."""
     q, dc = graph.q, graph.dc_max
     assert dc >= 3, "T-EMS top-3 scheme needs dc_max >= 3"
-    xor_tbl = _xor_table(q)
+    xor_tbl = jnp.asarray(_xor_table(q))
     mask = graph.cn_mask[None, :, :, None]
 
-    U = graph.permute_down(V)
     U = U - jnp.max(U, axis=-1, keepdims=True)
     d0 = jnp.full((q,), NEG, U.dtype).at[0].set(0.0)
     U = jnp.where(mask, U, d0)
@@ -117,8 +117,7 @@ def tems_cn_update(V: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> j
         outs.append(jnp.maximum(out, NEG))
 
     O = jnp.stack(outs, axis=2)                          # [B, M, dc, q]
-    C = graph.permute_up(O)
-    return jnp.where(mask, C, 0.0)
+    return jnp.where(mask, O, 0.0)
 
 
 def decode(

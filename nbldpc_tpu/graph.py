@@ -73,6 +73,28 @@ class TannerGraph:
         perm_down = gf.mul[gf.inv[w][:, :, None], a[None, None, :]]
         perm_up = gf.mul[w[:, :, None], a[None, None, :]]
 
+        # Combined routing + permutation tables: fold the per-edge GF weight
+        # permutation INTO the message-routing gather, so check-node updates
+        # see messages already in the "x = h*c" domain and never gather.
+        # One XLA gather per phase replaces routing gather + q-permutation.
+        #   down_idx: (VN-major V, c-domain) -> (CN-major U, x-domain)
+        #   up_idx:   (CN-major Chat, x-domain) -> (VN-major C, c-domain)
+        # Pad slots point at one appended zero scalar (index = size of flat).
+        vn_flat_size = n * dv_max * q
+        cn_flat_size = m * dc_max * q
+        down_idx = np.where(
+            cn_mask[:, :, None],
+            cn_slot_of_vn_slot[:, :, None].astype(np.int64) * q + perm_down,
+            vn_flat_size,
+        ).astype(np.int32)
+        pu_flat = perm_up.reshape(m * dc_max, q)
+        ve = vn_edge.astype(np.int64)
+        up_idx = np.where(
+            vn_mask[:, :, None],
+            ve[:, :, None] * q + pu_flat[np.minimum(ve, m * dc_max - 1)],
+            cn_flat_size,
+        ).astype(np.int32)
+
         # host copies
         self.cn_vn_np = cn_vn
         self.cn_w_np = cn_w
@@ -89,6 +111,8 @@ class TannerGraph:
         self.cn_slot_of_vn_slot = jnp.asarray(cn_slot_of_vn_slot)
         self.perm_down = jnp.asarray(perm_down.astype(np.int32))
         self.perm_up = jnp.asarray(perm_up.astype(np.int32))
+        self.down_idx = jnp.asarray(down_idx)
+        self.up_idx = jnp.asarray(up_idx)
         self.mul = jnp.asarray(gf.mul)
 
     # ---- message routing (pure gathers; batch dims lead) ----
@@ -115,6 +139,26 @@ class TannerGraph:
         flat = jnp.concatenate([flat, jnp.zeros((B, 1, self.q), Vv.dtype)], axis=1)
         out = jnp.take(flat, self.cn_slot_of_vn_slot.reshape(-1), axis=1)
         return out.reshape(B, self.m, self.dc_max, self.q)
+
+    def gather_cn_x(self, Vv: jnp.ndarray) -> jnp.ndarray:
+        """VN-major c-domain messages [B, N, dv_max, q] -> CN-major x-domain
+        U [B, M, dc_max, q] with U_e(a) = V_e(h_e^{-1} a): routing and GF
+        permutation in ONE gather (pad slots read an appended zero)."""
+        B = Vv.shape[0]
+        flat = Vv.reshape(B, -1)
+        flat = jnp.concatenate([flat, jnp.zeros((B, 1), Vv.dtype)], axis=1)
+        out = jnp.take(flat, self.down_idx.reshape(-1), axis=1)
+        return out.reshape(B, self.m, self.dc_max, self.q)
+
+    def gather_vn_x(self, Chat: jnp.ndarray) -> jnp.ndarray:
+        """CN-major x-domain messages [B, M, dc_max, q] -> VN-major c-domain
+        C [B, N, dv_max, q] with C_e(a) = Chat_e(h_e a): routing and GF
+        permutation in ONE gather (pad slots read an appended zero)."""
+        B = Chat.shape[0]
+        flat = Chat.reshape(B, -1)
+        flat = jnp.concatenate([flat, jnp.zeros((B, 1), Chat.dtype)], axis=1)
+        out = jnp.take(flat, self.up_idx.reshape(-1), axis=1)
+        return out.reshape(B, self.n, self.dv_max, self.q)
 
     def permute_down(self, V: jnp.ndarray) -> jnp.ndarray:
         """Apply per-edge GF weight: U(a) = V(h^{-1} a). V: [B, M, dc_max, q]."""

@@ -37,13 +37,27 @@ def initialize(
     if process_id is None and "NBLDPC_PROC_ID" in os.environ:
         process_id = int(os.environ["NBLDPC_PROC_ID"])
     if coordinator_address is None and num_processes is None:
-        # single process, or auto-detectable TPU slice environment
+        # Auto-initialize ONLY when the environment clearly indicates a
+        # multi-process slice: a bare jax.distributed.initialize() on a
+        # single-chip box can block waiting for a coordinator that will
+        # never answer.
+        multiproc_env = any(
+            v in os.environ
+            for v in (
+                "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES",
+                "CLOUD_TPU_TASK_ID",
+            )
+        )
+        if not multiproc_env:
+            return  # single-process local run
         if jax.process_count() > 1:
             return  # already initialized by the runtime
         try:
             jax.distributed.initialize()
         except Exception:
-            pass  # single-process local run
+            pass
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

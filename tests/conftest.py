@@ -7,7 +7,10 @@ tests are opt-in via NBLDPC_TPU_TESTS=1 (the dev box has one chip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the harness may preset JAX_PLATFORMS=tpu/axon); real-TPU tests
+# are opt-in via NBLDPC_TPU_TESTS=1, which leaves the platform alone.
+if os.environ.get("NBLDPC_TPU_TESTS") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,6 +24,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# On this box jax is PRE-IMPORTED at interpreter startup (axon hook), so the
+# env vars above are too late for jax.config — override the config directly
+# (safe: no backend has been initialized yet at conftest import time).
+if os.environ.get("NBLDPC_TPU_TESTS") != "1":
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session")

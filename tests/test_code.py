@@ -77,6 +77,29 @@ def test_graph_bijection(small_codes):
     np.testing.assert_allclose(back, C, rtol=1e-6)
 
 
+def test_combined_gather_equals_two_step(small_codes):
+    """down_idx/up_idx (routing+perm fused into one gather) must equal the
+    separate route-then-permute reference path."""
+    rng = np.random.default_rng(7)
+    for name in ["gf4_tiny", "gf16_tiny"]:
+        spec = small_codes[name]
+        g = TannerGraph(spec)
+        B, q = 2, spec.q
+        Vv = jnp.asarray(rng.normal(size=(B, g.n, g.dv_max, q)).astype(np.float32))
+        Vv = jnp.where(g.vn_mask[None, :, :, None], Vv, 0.0)
+        one = np.array(g.gather_cn_x(Vv))
+        two = np.array(g.permute_down(g.gather_cn(Vv)))
+        two = np.where(np.array(g.cn_mask)[None, :, :, None], two, 0.0)
+        one = np.where(np.array(g.cn_mask)[None, :, :, None], one, 0.0)
+        np.testing.assert_allclose(one, two, rtol=1e-6, err_msg=name)
+
+        Chat = jnp.asarray(rng.normal(size=(B, g.m, g.dc_max, q)).astype(np.float32))
+        Chat = jnp.where(g.cn_mask[None, :, :, None], Chat, 0.0)
+        one_v = np.array(g.gather_vn_x(Chat))
+        two_v = np.array(g.gather_vn(g.permute_up(Chat)))
+        np.testing.assert_allclose(one_v, two_v, rtol=1e-6, err_msg=name)
+
+
 def test_syndrome_of_codeword(small_codes):
     spec = small_codes["gf16_tiny"]
     g = TannerGraph(spec)

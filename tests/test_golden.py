@@ -49,8 +49,10 @@ def test_qspa_messages_one_iter(small_codes, code_name):
     def one_iter(llr_j):
         llr_n = llr_j - jnp.max(llr_j, axis=-1, keepdims=True)
         C0 = jnp.zeros((llr_j.shape[0], g.m, g.dc_max, g.q), jnp.float32)
-        V, _, _ = decoders.common.vn_update(g, llr_n, C0)
-        return qspa.qspa_cn_update(V, g)
+        U, _, _ = decoders.common.vn_update(g, llr_n, C0)
+        # CN output is x-domain; permute back to c-domain to compare with
+        # the oracle, which reports C messages in the codeword domain.
+        return g.permute_up(qspa.qspa_cn_update(U, g))
 
     C1 = np.array(one_iter(jnp.asarray(llr)))
 

@@ -18,8 +18,9 @@ def _one_iter_messages(g, llr, cn_update):
     def one_iter(llr_j):
         llr_n = llr_j - jnp.max(llr_j, axis=-1, keepdims=True)
         C0 = jnp.zeros((llr_j.shape[0], g.m, g.dc_max, g.q), jnp.float32)
-        V, _, _ = common.vn_update(g, llr_n, C0)
-        return cn_update(V, g)
+        U, _, _ = common.vn_update(g, llr_n, C0)
+        # CN output is x-domain; permute back to c-domain for the oracle.
+        return g.permute_up(cn_update(U, g))
 
     return np.array(one_iter(jnp.asarray(llr)))
 
