@@ -115,3 +115,92 @@ def _decision(graph: TannerGraph, llr, C):
     posterior = llr + jnp.sum(Cv, axis=2)
     hard = jnp.argmax(posterior, axis=-1).astype(jnp.int32)
     return Cv, posterior, hard
+
+
+# ---------------------------------------------------------------------------
+# Batch-last fast path (TPU layout: lane axis = Monte-Carlo batch)
+#
+# Messages: [M, dc_max, q, B]; priors: [N, q, B]; hard: [N, B]. Every VPU op
+# runs on full 128-lane vectors over B, routing gathers move contiguous
+# length-B rows, and reductions are over small leading/sublane axes.
+# Semantics are identical to the q-last path above (same update equations).
+# ---------------------------------------------------------------------------
+
+
+def vn_update_bl(
+    graph: TannerGraph, llr: jnp.ndarray, C: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batch-last VN phase. llr [N, q, B]; C [M, dc_max, q, B] (x-domain).
+
+    Returns (U [M, dc, q, B], posterior [N, q, B], hard [N, B])."""
+    Cv = graph.gather_vn_x_bl(C)                              # [N, dv, q, B]
+    posterior = llr + jnp.sum(Cv, axis=1)                     # pad rows are 0
+    Vv = posterior[:, None] - Cv                              # leave-one-out
+    Vv = Vv - jnp.max(Vv, axis=2, keepdims=True)              # normalize (q)
+    U = graph.gather_cn_x_bl(Vv)                              # [M, dc, q, B]
+    hard = jnp.argmax(posterior, axis=1).astype(jnp.int32)    # [N, B]
+    return U, posterior, hard
+
+
+def _decision_bl(graph: TannerGraph, llr, C):
+    Cv = graph.gather_vn_x_bl(C)
+    posterior = llr + jnp.sum(Cv, axis=1)
+    hard = jnp.argmax(posterior, axis=1).astype(jnp.int32)
+    return posterior, hard
+
+
+class _StateBL(NamedTuple):
+    C: jnp.ndarray       # [M, dc_max, q, B]
+    hard: jnp.ndarray    # [N, B]
+    done: jnp.ndarray    # [B]
+    iters: jnp.ndarray   # [B]
+    it: jnp.ndarray
+
+
+def decode_bl(
+    graph: TannerGraph,
+    llr: jnp.ndarray,
+    cn_update_bl: CnUpdateFn,
+    max_iters: int,
+    early_term: bool = True,
+) -> DecodeResult:
+    """Batch-last decode. llr [B, N, q] public layout; transposed once at
+    entry/exit (amortized over max_iters iterations)."""
+    B = llr.shape[0]
+    llr = jnp.transpose(llr, (1, 2, 0))                       # [N, q, B]
+    llr = llr - jnp.max(llr, axis=1, keepdims=True)
+    C0 = jnp.zeros((graph.m, graph.dc_max, graph.q, B), llr.dtype)
+    hard0 = jnp.argmax(llr, axis=1).astype(jnp.int32)         # [N, B]
+    done0 = jnp.all(graph.syndrome_bl(hard0) == 0, axis=0)    # [B]
+    st = _StateBL(
+        C=C0,
+        hard=hard0,
+        done=done0,
+        iters=jnp.zeros((B,), jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
+    )
+
+    def body(st: _StateBL) -> _StateBL:
+        U, _, _ = vn_update_bl(graph, llr, st.C)
+        C_new = cn_update_bl(U, graph)
+        _, hard_new = _decision_bl(graph, llr, C_new)
+        done_new = jnp.all(graph.syndrome_bl(hard_new) == 0, axis=0)
+        active = ~st.done
+        keep = st.done
+        C = jnp.where(keep[None, None, None, :], st.C, C_new)
+        hard = jnp.where(keep[None, :], st.hard, hard_new)
+        return _StateBL(
+            C=C,
+            hard=hard,
+            done=st.done | done_new,
+            iters=st.iters + active.astype(jnp.int32),
+            it=st.it + 1,
+        )
+
+    if early_term:
+        st = jax.lax.while_loop(
+            lambda s: (s.it < max_iters) & ~jnp.all(s.done), body, st
+        )
+    else:
+        st = jax.lax.fori_loop(0, max_iters, lambda _, s: body(s), st)
+    return DecodeResult(hard=st.hard.T, done=st.done, iters=st.iters)

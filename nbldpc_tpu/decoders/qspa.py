@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from nbldpc_tpu.decoders import common
 from nbldpc_tpu.graph import TannerGraph
-from nbldpc_tpu.kernels.wht import wht
+from nbldpc_tpu.kernels.wht import wht, wht_axis
 
 # Floor for prob-domain extrinsics before re-entering log domain. Shared with
 # the numpy oracle (tests/reference_model.py) so hard decisions match.
@@ -61,8 +61,43 @@ def qspa_cn_update(U: jnp.ndarray, graph: TannerGraph) -> jnp.ndarray:
     return jnp.where(graph.cn_mask[None, :, :, None], Chat, 0.0)
 
 
+def qspa_cn_update_bl(U: jnp.ndarray, graph: TannerGraph) -> jnp.ndarray:
+    """Batch-last CN update: U [M, dc_max, q, B] log-domain x-domain.
+
+    q on axis 2, frame batch on the TPU lane axis (axis 3) — every op runs
+    on full 128-lane vectors.
+    Identical math to qspa_cn_update — but maskless: pad CN slots arrive as
+    log-delta0 (graph.gather_cn_x_bl), whose spectrum is all-ones and
+    contributes exactly 0 to the leave-one-out log-sum, and pad OUTPUT values
+    are never read (the VN gather routes only real slots). Pure
+    elementwise + WHT + dc-reduction — the Pallas K1 contract.
+    """
+    q = graph.q
+    P = jax.nn.softmax(U, axis=2)
+    F = wht_axis(P, axis=2)                                # [M, dc, q, B]
+    sign = jnp.where(F < 0, -1.0, 1.0).astype(P.dtype)
+    logmag = jnp.log(jnp.abs(F) + MAG_TINY)
+    lsum = jnp.sum(logmag, axis=1, keepdims=True)          # over dc
+    ssum = jnp.prod(sign, axis=1, keepdims=True)
+    G = (ssum * sign) * jnp.exp(lsum - logmag)
+    Q = wht_axis(G, axis=2) / q
+    Q = jnp.maximum(Q, PROB_FLOOR)
+    Chat = jnp.log(Q)
+    return Chat - jnp.max(Chat, axis=2, keepdims=True)
+
+
 def decode(
-    graph: TannerGraph, llr: jnp.ndarray, max_iters: int = 20, early_term: bool = True
+    graph: TannerGraph,
+    llr: jnp.ndarray,
+    max_iters: int = 20,
+    early_term: bool = True,
+    batch_last: bool = True,
 ) -> common.DecodeResult:
-    """QSPA decode of a batch: llr [B, N, q] -> DecodeResult."""
+    """QSPA decode of a batch: llr [B, N, q] -> DecodeResult.
+
+    batch_last=True uses the TPU-fast layout (lane axis = frame batch);
+    both paths implement identical update equations.
+    """
+    if batch_last:
+        return common.decode_bl(graph, llr, qspa_cn_update_bl, max_iters, early_term)
     return common.decode(graph, llr, qspa_cn_update, max_iters, early_term)

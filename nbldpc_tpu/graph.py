@@ -27,6 +27,10 @@ import jax.numpy as jnp
 from nbldpc_tpu.code import CodeSpec
 from nbldpc_tpu.gf import get_field
 
+# Log-domain "minus infinity" written into pad CN slots; exp(PAD_NEG) == 0.0
+# exactly in f32, so softmax of a pad slot is exactly delta0.
+PAD_NEG = -1e30
+
 
 class TannerGraph:
     """Device-resident padded array form of a CodeSpec's Tanner graph."""
@@ -80,12 +84,17 @@ class TannerGraph:
         #   down_idx: (VN-major V, c-domain) -> (CN-major U, x-domain)
         #   up_idx:   (CN-major Chat, x-domain) -> (VN-major C, c-domain)
         # Pad slots point at one appended zero scalar (index = size of flat).
+        # Pad CN slots read an appended q-row log-delta0 block (0 at symbol 0,
+        # -BIG elsewhere): softmax of a pad slot is then the WHT-convolution
+        # identity delta0, its log-magnitude spectrum contributes exactly 0 to
+        # the leave-one-out sum, and the CN update needs NO masks — pure
+        # elementwise + WHT + reduction (the Pallas K1 contract).
         vn_flat_size = n * dv_max * q
         cn_flat_size = m * dc_max * q
         down_idx = np.where(
             cn_mask[:, :, None],
             cn_slot_of_vn_slot[:, :, None].astype(np.int64) * q + perm_down,
-            vn_flat_size,
+            vn_flat_size + a[None, None, :],
         ).astype(np.int32)
         pu_flat = perm_up.reshape(m * dc_max, q)
         ve = vn_edge.astype(np.int64)
@@ -140,13 +149,21 @@ class TannerGraph:
         out = jnp.take(flat, self.cn_slot_of_vn_slot.reshape(-1), axis=1)
         return out.reshape(B, self.m, self.dc_max, self.q)
 
+    def _pad_block(self, dtype) -> jnp.ndarray:
+        """Log-domain delta0 read by pad CN slots: [q] = (0, -BIG, ..., -BIG).
+
+        softmax(pad slot) == delta0 == the WHT-convolution identity, so CN
+        updates need no pad masking (see down_idx construction)."""
+        return jnp.full((self.q,), PAD_NEG, dtype).at[0].set(0.0)
+
     def gather_cn_x(self, Vv: jnp.ndarray) -> jnp.ndarray:
         """VN-major c-domain messages [B, N, dv_max, q] -> CN-major x-domain
         U [B, M, dc_max, q] with U_e(a) = V_e(h_e^{-1} a): routing and GF
-        permutation in ONE gather (pad slots read an appended zero)."""
+        permutation in ONE gather (pad slots read an appended log-delta0)."""
         B = Vv.shape[0]
         flat = Vv.reshape(B, -1)
-        flat = jnp.concatenate([flat, jnp.zeros((B, 1), Vv.dtype)], axis=1)
+        pad = jnp.broadcast_to(self._pad_block(Vv.dtype), (B, self.q))
+        flat = jnp.concatenate([flat, pad], axis=1)
         out = jnp.take(flat, self.down_idx.reshape(-1), axis=1)
         return out.reshape(B, self.m, self.dc_max, self.q)
 
@@ -159,6 +176,42 @@ class TannerGraph:
         flat = jnp.concatenate([flat, jnp.zeros((B, 1), Chat.dtype)], axis=1)
         out = jnp.take(flat, self.up_idx.reshape(-1), axis=1)
         return out.reshape(B, self.n, self.dv_max, self.q)
+
+    # ---- batch-last routing (fast TPU layout: lane axis = frame batch) ----
+    #
+    # Messages are [M, dc_max, q, B] / [N, dv_max, q, B]: every VPU op runs on
+    # full 128-lane vectors over the Monte-Carlo batch, and routing gathers
+    # move contiguous length-B rows (memory-coalesced on TPU).
+
+    def gather_vn_x_bl(self, Chat: jnp.ndarray) -> jnp.ndarray:
+        """[M, dc_max, q, B] x-domain -> [N, dv_max, q, B] c-domain.
+        Same indices as gather_vn_x, applied on leading axes (B trails)."""
+        B = Chat.shape[-1]
+        flat = Chat.reshape(-1, B)
+        flat = jnp.concatenate([flat, jnp.zeros((1, B), Chat.dtype)], axis=0)
+        out = jnp.take(flat, self.up_idx.reshape(-1), axis=0)
+        return out.reshape(self.n, self.dv_max, self.q, B)
+
+    def gather_cn_x_bl(self, Vv: jnp.ndarray) -> jnp.ndarray:
+        """[N, dv_max, q, B] c-domain -> [M, dc_max, q, B] x-domain.
+        Pad slots read the appended log-delta0 block (no CN masking needed)."""
+        B = Vv.shape[-1]
+        flat = Vv.reshape(-1, B)
+        pad = jnp.broadcast_to(self._pad_block(Vv.dtype)[:, None], (self.q, B))
+        flat = jnp.concatenate([flat, pad], axis=0)
+        out = jnp.take(flat, self.down_idx.reshape(-1), axis=0)
+        return out.reshape(self.m, self.dc_max, self.q, B)
+
+    def syndrome_bl(self, hard: jnp.ndarray) -> jnp.ndarray:
+        """hard [N, B] int32 -> syndrome [M, B] int32 (0 == satisfied)."""
+        B = hard.shape[-1]
+        sym = jnp.take(hard, self.cn_vn.reshape(-1), axis=0).reshape(
+            self.m, self.dc_max, B
+        )
+        flat_idx = self.cn_w[:, :, None] * self.q + sym      # mul[w, sym]
+        prod = jnp.take(self.mul.reshape(-1), flat_idx)
+        prod = jnp.where(self.cn_mask[:, :, None], prod, 0)
+        return jax_xor_reduce(prod, axis=1)
 
     def permute_down(self, V: jnp.ndarray) -> jnp.ndarray:
         """Apply per-edge GF weight: U(a) = V(h^{-1} a). V: [B, M, dc_max, q]."""

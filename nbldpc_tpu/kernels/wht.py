@@ -38,6 +38,31 @@ def iwht(x: jnp.ndarray) -> jnp.ndarray:
     return wht(x) / x.shape[-1]
 
 
+def wht_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Unnormalized WHT along `axis` (length q = 2^p, static).
+
+    Same butterfly as `wht`, with trailing axes kept intact — used by the
+    batch-last decode path where messages are [..., q, B] and the lane axis
+    must stay the Monte-Carlo batch (TPU lane utilization).
+    """
+    axis = axis % x.ndim
+    if axis == x.ndim - 1:
+        return wht(x)
+    q = x.shape[axis]
+    p = q.bit_length() - 1
+    assert 1 << p == q, "q must be a power of two"
+    shape = x.shape
+    lead, tail = shape[:axis], shape[axis + 1 :]
+    sel = (slice(None),) * (len(lead) + 1)  # lead dims + the q//2h dim
+    for i in range(p):
+        h = 1 << i
+        y = x.reshape(lead + (q // (2 * h), 2, h) + tail)
+        a = y[sel + (0,)]
+        b = y[sel + (1,)]
+        x = jnp.stack([a + b, a - b], axis=len(lead) + 1).reshape(shape)
+    return x
+
+
 def wht_matrix(q: int) -> np.ndarray:
     """Dense [q, q] Hadamard matrix H[a,b] = (-1)^popcount(a & b) (for tests)."""
     a = np.arange(q)

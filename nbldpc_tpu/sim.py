@@ -42,6 +42,23 @@ def get_cn_update(dec: DecoderConfig):
     raise ValueError(f"unknown decoder kind {dec.kind!r}")
 
 
+def get_decode_fn(dec: DecoderConfig):
+    """(graph, llr [B,N,q]) -> DecodeResult for the configured decoder.
+
+    QSPA runs the batch-last TPU-fast layout (decoders/common.py
+    decode_bl); EMS/T-EMS use the q-last path whose top_k/sort semantics
+    match the numpy oracle exactly.
+    """
+    if dec.kind == "qspa":
+        return lambda graph, llr: qspa.decode(
+            graph, llr, dec.max_iters, dec.early_term, batch_last=True
+        )
+    cn_update = get_cn_update(dec)
+    return lambda graph, llr: common.decode(
+        graph, llr, cn_update, dec.max_iters, dec.early_term
+    )
+
+
 @dataclasses.dataclass
 class Counters:
     """Per-SNR Monte-Carlo accumulators (host-side numpy)."""
@@ -82,7 +99,7 @@ def make_sim_step(
     counters over the frame axis.
     """
     gf = get_field(graph.q)
-    cn_update = get_cn_update(dec)
+    decode_fn = get_decode_fn(dec)
     popcount = jnp.asarray(gf.bits.sum(axis=1).astype(np.int32))  # bits per symbol
     S, B, N, p = n_snr, batch_per_snr, graph.n, gf.p
     if not zero_codeword and encoder is None:
@@ -100,13 +117,7 @@ def make_sim_step(
             x = modulate(cw, graph.q)
         y = x + sig * jax.random.normal(kn, x.shape, dtype)
         llr = llr_init(y, sig, graph.q)                           # [S,B,N,q]
-        res = common.decode(
-            graph,
-            llr.reshape(S * B, N, graph.q),
-            cn_update,
-            dec.max_iters,
-            dec.early_term,
-        )
+        res = decode_fn(graph, llr.reshape(S * B, N, graph.q))
         hard = res.hard.reshape(S, B, N)
         sym_err = (hard != cw).astype(jnp.int32)                  # [S,B,N]
         bit_err = popcount[hard ^ cw]

@@ -118,6 +118,19 @@ def test_qspa_corrects_single_error(small_codes):
     np.testing.assert_array_equal(np.array(res.hard), np.array(cw))
 
 
+@pytest.mark.parametrize("code_name", ["gf4_tiny", "gf16_tiny", "gf4_n96"])
+def test_qspa_layouts_agree(small_codes, code_name):
+    """Batch-last (TPU-fast) and q-last paths implement identical updates:
+    hard decisions, done flags and iteration counts must match exactly."""
+    spec = small_codes[code_name]
+    g, cw, llr = _noisy_llrs(spec, 16, 2.0, seed=7)
+    r_bl = qspa.decode(g, jnp.asarray(llr), max_iters=8, batch_last=True)
+    r_ql = qspa.decode(g, jnp.asarray(llr), max_iters=8, batch_last=False)
+    np.testing.assert_array_equal(np.array(r_bl.hard), np.array(r_ql.hard))
+    np.testing.assert_array_equal(np.array(r_bl.done), np.array(r_ql.done))
+    np.testing.assert_array_equal(np.array(r_bl.iters), np.array(r_ql.iters))
+
+
 def test_qspa_fixed_budget_mode(small_codes):
     """fori_loop mode must give the same answers as while_loop mode."""
     spec = small_codes["gf16_tiny"]
