@@ -1,8 +1,8 @@
 """Phase-level microbenchmark of the batch-last QSPA iteration on device.
 
-Times each phase of one decode iteration separately (looped K times inside
-one jit to amortize dispatch): CN update, VN gathers, VN math, syndrome,
-decision. Finds where the per-iteration milliseconds actually go.
+Times each phase of one decode_bl iteration separately (looped K times inside
+one jit to amortize dispatch). Finds where the per-iteration milliseconds go.
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_phases.py
 """
 
 from __future__ import annotations
@@ -34,31 +34,47 @@ def timed(name, fn, *args):
 
 def main():
     from nbldpc_tpu.codegen import build_standard_code
-    from nbldpc_tpu.decoders import common, qspa
+    from nbldpc_tpu.decoders import qspa
     from nbldpc_tpu.graph import TannerGraph
+    from nbldpc_tpu.kernels.cn_qspa import cn_update_pallas
 
-    B = 4096 if jax.devices()[0].platform != "cpu" else 32
+    on_tpu = jax.devices()[0].platform != "cpu"
+    B = 4096 if on_tpu else 32
     spec = build_standard_code("gf16_n204_k102")
     g = TannerGraph(spec)
     q, M, N, dc, dv = g.q, g.m, g.n, g.dc_max, g.dv_max
     key = jax.random.PRNGKey(0)
     llr = jax.random.normal(key, (N, q, B), jnp.float32) * 4.0
-    C = jax.random.normal(key, (M, dc, q, B), jnp.float32)
+    Cv = jax.random.normal(key, (N, dv, q, B), jnp.float32)
     U = jax.random.normal(key, (M, dc, q, B), jnp.float32)
     hard = jax.random.randint(key, (N, B), 0, q, dtype=jnp.int32)
 
-    def loop(f, x):
-        return jax.lax.fori_loop(0, K, lambda i, a: f(a) + 0.0 * i, x)
+    def rep(f):
+        """fori_loop wrapper keeping a data dependency through iterations."""
+        def run(x):
+            return jax.lax.fori_loop(0, K, lambda i, a: f(a), x)
+        return run
 
-    timed("cn_update_bl", lambda u: loop(lambda x: qspa.qspa_cn_update_bl(x, g), u), U)
-    timed("gather_vn_x_bl", lambda c: loop(lambda x: g.gather_vn_x_bl(x)[:, :, :, : x.shape[-1]].sum(1), c)
-          if False else jax.lax.fori_loop(0, K, lambda i, a: g.gather_cn_x_bl(g.gather_vn_x_bl(a)), c), C)
-    timed("vn_full", lambda c: jax.lax.fori_loop(
-        0, K, lambda i, a: common.vn_update_bl(g, llr, a)[0], c), C)
-    timed("syndrome_bl", lambda h: jax.lax.fori_loop(
-        0, K, lambda i, a: (g.syndrome_bl(a).sum(0, keepdims=True) * 0 + a), h), hard)
-    timed("full_body", lambda c: jax.lax.fori_loop(
-        0, K, lambda i, a: qspa.qspa_cn_update_bl(common.vn_update_bl(g, llr, a)[0], g), c), C)
+    timed("vn_loo_norm", rep(lambda cv: (
+        lambda V: V - jnp.max(V, axis=2, keepdims=True)
+    )(llr[:, None] - cv)), Cv)
+    timed("gather_pair", rep(lambda cv: g.gather_vn_x_bl(g.gather_cn_x_bl(cv))), Cv)
+    timed("cn_xla", rep(lambda u: qspa.qspa_cn_update_bl(u, g)), U)
+    if on_tpu:
+        timed("cn_pallas", rep(lambda u: cn_update_pallas(u)), U)
+    timed("posterior_argmax", rep(lambda cv: cv.at[:, 0].add(
+        (llr + jnp.sum(cv, axis=1)) * 0.0
+    )), Cv)
+    timed("syndrome", rep(lambda h: h ^ (g.syndrome_bl(h).sum(0, keepdims=True) * 0)), hard)
+
+    def full(cv):
+        Vv = llr[:, None] - cv
+        Vv = Vv - jnp.max(Vv, axis=2, keepdims=True)
+        Uu = g.gather_cn_x_bl(Vv)
+        Chat = cn_update_pallas(Uu) if on_tpu else qspa.qspa_cn_update_bl(Uu, g)
+        return g.gather_vn_x_bl(Chat)
+
+    timed("full_body_no_dec", rep(full), Cv)
 
 
 if __name__ == "__main__":

@@ -150,10 +150,11 @@ def _decision_bl(graph: TannerGraph, llr, C):
 
 
 class _StateBL(NamedTuple):
-    C: jnp.ndarray       # [M, dc_max, q, B]
-    hard: jnp.ndarray    # [N, B]
-    done: jnp.ndarray    # [B]
-    iters: jnp.ndarray   # [B]
+    Cv: jnp.ndarray        # [N, dv_max, q, B] check->var extrinsic, VN-major
+    posterior: jnp.ndarray # [N, q, B] llr + sum(Cv)
+    hard: jnp.ndarray      # [N, B]
+    done: jnp.ndarray      # [B]
+    iters: jnp.ndarray     # [B]
     it: jnp.ndarray
 
 
@@ -165,15 +166,23 @@ def decode_bl(
     early_term: bool = True,
 ) -> DecodeResult:
     """Batch-last decode. llr [B, N, q] public layout; transposed once at
-    entry/exit (amortized over max_iters iterations)."""
+    entry/exit (amortized over max_iters iterations).
+
+    Traffic-minimizing loop structure: the state carries the extrinsics in
+    VN-major (already-gathered) form plus the posterior, so each iteration
+    does exactly ONE down-gather and ONE up-gather; messages are never
+    frozen for converged frames (only the tiny hard/done/iters outputs are —
+    messages don't affect outputs once a frame's hard decision is frozen).
+    """
     B = llr.shape[0]
     llr = jnp.transpose(llr, (1, 2, 0))                       # [N, q, B]
     llr = llr - jnp.max(llr, axis=1, keepdims=True)
-    C0 = jnp.zeros((graph.m, graph.dc_max, graph.q, B), llr.dtype)
+    Cv0 = jnp.zeros((graph.n, graph.dv_max, graph.q, B), llr.dtype)
     hard0 = jnp.argmax(llr, axis=1).astype(jnp.int32)         # [N, B]
     done0 = jnp.all(graph.syndrome_bl(hard0) == 0, axis=0)    # [B]
     st = _StateBL(
-        C=C0,
+        Cv=Cv0,
+        posterior=llr,
         hard=hard0,
         done=done0,
         iters=jnp.zeros((B,), jnp.int32),
@@ -181,16 +190,19 @@ def decode_bl(
     )
 
     def body(st: _StateBL) -> _StateBL:
-        U, _, _ = vn_update_bl(graph, llr, st.C)
-        C_new = cn_update_bl(U, graph)
-        _, hard_new = _decision_bl(graph, llr, C_new)
+        Vv = st.posterior[:, None] - st.Cv                    # leave-one-out
+        Vv = Vv - jnp.max(Vv, axis=2, keepdims=True)          # normalize (q)
+        U = graph.gather_cn_x_bl(Vv)                          # [M, dc, q, B]
+        Chat = cn_update_bl(U, graph)
+        Cv = graph.gather_vn_x_bl(Chat)                       # [N, dv, q, B]
+        posterior = llr + jnp.sum(Cv, axis=1)
+        hard_new = jnp.argmax(posterior, axis=1).astype(jnp.int32)
         done_new = jnp.all(graph.syndrome_bl(hard_new) == 0, axis=0)
         active = ~st.done
-        keep = st.done
-        C = jnp.where(keep[None, None, None, :], st.C, C_new)
-        hard = jnp.where(keep[None, :], st.hard, hard_new)
+        hard = jnp.where(st.done[None, :], st.hard, hard_new)
         return _StateBL(
-            C=C,
+            Cv=Cv,
+            posterior=posterior,
             hard=hard,
             done=st.done | done_new,
             iters=st.iters + active.astype(jnp.int32),

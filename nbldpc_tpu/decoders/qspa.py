@@ -86,18 +86,38 @@ def qspa_cn_update_bl(U: jnp.ndarray, graph: TannerGraph) -> jnp.ndarray:
     return Chat - jnp.max(Chat, axis=2, keepdims=True)
 
 
+def qspa_cn_update_bl_pallas(U: jnp.ndarray, graph: TannerGraph) -> jnp.ndarray:
+    """Fused Pallas K1 kernel path — same semantics as qspa_cn_update_bl."""
+    from nbldpc_tpu.kernels.cn_qspa import cn_update_pallas
+
+    return cn_update_pallas(U)
+
+
+def _pick_cn_impl(cn_impl: str) -> str:
+    if cn_impl != "auto":
+        return cn_impl
+    import jax.extend.backend
+
+    return "pallas" if jax.extend.backend.get_backend().platform == "tpu" else "xla"
+
+
 def decode(
     graph: TannerGraph,
     llr: jnp.ndarray,
     max_iters: int = 20,
     early_term: bool = True,
     batch_last: bool = True,
+    cn_impl: str = "auto",
 ) -> common.DecodeResult:
     """QSPA decode of a batch: llr [B, N, q] -> DecodeResult.
 
     batch_last=True uses the TPU-fast layout (lane axis = frame batch);
-    both paths implement identical update equations.
+    both paths implement identical update equations. cn_impl selects the
+    check-node kernel: "pallas" (fused K1, TPU only), "xla", or "auto"
+    (pallas on TPU, xla elsewhere).
     """
     if batch_last:
-        return common.decode_bl(graph, llr, qspa_cn_update_bl, max_iters, early_term)
+        impl = _pick_cn_impl(cn_impl)
+        cn = qspa_cn_update_bl_pallas if impl == "pallas" else qspa_cn_update_bl
+        return common.decode_bl(graph, llr, cn, max_iters, early_term)
     return common.decode(graph, llr, qspa_cn_update, max_iters, early_term)

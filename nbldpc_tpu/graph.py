@@ -104,6 +104,17 @@ class TannerGraph:
             cn_flat_size,
         ).astype(np.int32)
 
+        # Degree-regularity flags: regular codes skip pad fixups entirely.
+        self.has_cn_pads = not bool(cn_mask.all())
+        self.has_vn_pads = not bool(vn_mask.all())
+
+        # Syndrome bit-decomposition tables: syn_k[m, j, t] = h_mj * alpha-
+        # basis element 2^t (0 on pad slots), so h*c = XOR_t bit_t(c)*syn_k.
+        pows = (1 << np.arange(gf.p)).astype(np.int64)
+        syn_k = gf.mul[cn_w.astype(np.int64)[:, :, None], pows[None, None, :]]
+        syn_k = np.where(cn_mask[:, :, None], syn_k, 0).astype(np.int32)
+        self.syn_k = jnp.asarray(syn_k)
+
         # host copies
         self.cn_vn_np = cn_vn
         self.cn_w_np = cn_w
@@ -185,33 +196,49 @@ class TannerGraph:
 
     def gather_vn_x_bl(self, Chat: jnp.ndarray) -> jnp.ndarray:
         """[M, dc_max, q, B] x-domain -> [N, dv_max, q, B] c-domain.
-        Same indices as gather_vn_x, applied on leading axes (B trails)."""
-        B = Chat.shape[-1]
-        flat = Chat.reshape(-1, B)
-        flat = jnp.concatenate([flat, jnp.zeros((1, B), Chat.dtype)], axis=0)
-        out = jnp.take(flat, self.up_idx.reshape(-1), axis=0)
-        return out.reshape(self.n, self.dv_max, self.q, B)
+
+        No pad-row concat (that would copy the whole array): pad indices are
+        clipped by jnp.take and fixed up with a fused `where` -> 0 (the
+        additive identity for the posterior sum) — skipped entirely for
+        VN-regular codes."""
+        flat = Chat.reshape(-1, Chat.shape[-1])
+        out = jnp.take(flat, self.up_idx.reshape(-1), axis=0, mode="clip")
+        out = out.reshape(self.n, self.dv_max, self.q, -1)
+        if self.has_vn_pads:
+            out = jnp.where(self.vn_mask[:, :, None, None], out, 0.0)
+        return out
 
     def gather_cn_x_bl(self, Vv: jnp.ndarray) -> jnp.ndarray:
         """[N, dv_max, q, B] c-domain -> [M, dc_max, q, B] x-domain.
-        Pad slots read the appended log-delta0 block (no CN masking needed)."""
-        B = Vv.shape[-1]
-        flat = Vv.reshape(-1, B)
-        pad = jnp.broadcast_to(self._pad_block(Vv.dtype)[:, None], (self.q, B))
-        flat = jnp.concatenate([flat, pad], axis=0)
-        out = jnp.take(flat, self.down_idx.reshape(-1), axis=0)
-        return out.reshape(self.m, self.dc_max, self.q, B)
+
+        Pad slots become log-delta0 via a fused `where` (no concat copy);
+        skipped entirely for CN-regular codes."""
+        flat = Vv.reshape(-1, Vv.shape[-1])
+        out = jnp.take(flat, self.down_idx.reshape(-1), axis=0, mode="clip")
+        out = out.reshape(self.m, self.dc_max, self.q, -1)
+        if self.has_cn_pads:
+            out = jnp.where(
+                self.cn_mask[:, :, None, None],
+                out,
+                self._pad_block(Vv.dtype)[:, None],
+            )
+        return out
 
     def syndrome_bl(self, hard: jnp.ndarray) -> jnp.ndarray:
-        """hard [N, B] int32 -> syndrome [M, B] int32 (0 == satisfied)."""
-        B = hard.shape[-1]
+        """hard [N, B] int32 -> syndrome [M, B] int32 (0 == satisfied).
+
+        GF-multiply by the (static) edge weight via bit decomposition:
+        h*c = XOR_t ((c >> t) & 1) * mul[h, 2^t] — the per-edge tables
+        syn_k [M, dc, p] are precomputed (0 on pad slots), so the whole
+        syndrome is shifts/ands/multiplies + an XOR reduce: no per-element
+        table gathers (which are slow on TPU)."""
         sym = jnp.take(hard, self.cn_vn.reshape(-1), axis=0).reshape(
-            self.m, self.dc_max, B
+            self.m, self.dc_max, -1
         )
-        flat_idx = self.cn_w[:, :, None] * self.q + sym      # mul[w, sym]
-        prod = jnp.take(self.mul.reshape(-1), flat_idx)
-        prod = jnp.where(self.cn_mask[:, :, None], prod, 0)
-        return jax_xor_reduce(prod, axis=1)
+        x = jnp.zeros_like(sym)
+        for t in range(self.gf.p):
+            x = x ^ (((sym >> t) & 1) * self.syn_k[:, :, t : t + 1])
+        return jax_xor_reduce(x, axis=1)
 
     def permute_down(self, V: jnp.ndarray) -> jnp.ndarray:
         """Apply per-edge GF weight: U(a) = V(h^{-1} a). V: [B, M, dc_max, q]."""
@@ -229,10 +256,12 @@ class TannerGraph:
         sym = jnp.take(hard, self.cn_vn.reshape(-1), axis=-1).reshape(
             hard.shape[0], self.m, self.dc_max
         )
-        prod = self.mul[self.cn_w[None], sym]
-        prod = jnp.where(self.cn_mask[None], prod, 0)
-        # XOR-reduce over the dc axis
-        return jax_xor_reduce(prod, axis=-1)
+        # bit-decomposed GF multiply by the static edge weight (see
+        # syndrome_bl): no per-element table gathers; pads have syn_k == 0.
+        x = jnp.zeros_like(sym)
+        for t in range(self.gf.p):
+            x = x ^ (((sym >> t) & 1) * self.syn_k[None, :, :, t])
+        return jax_xor_reduce(x, axis=-1)
 
 
 def jax_xor_reduce(x: jnp.ndarray, axis: int) -> jnp.ndarray:
