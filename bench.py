@@ -31,7 +31,9 @@ def main() -> None:
     on_accel = platform not in ("cpu",)
     batch = 4096 if on_accel else 64
     iters = 50
-    reps = 5 if on_accel else 1
+    # Enough reps to amortize the final device sync (one block_until_ready
+    # costs ~0.2 s through the remote-TPU tunnel; steps pipeline at ~36 ms).
+    reps = 25 if on_accel else 1
 
     spec = build_standard_code("gf16_n204_k102")
     graph = TannerGraph(spec)

@@ -93,12 +93,30 @@ def qspa_cn_update_bl_pallas(U: jnp.ndarray, graph: TannerGraph) -> jnp.ndarray:
     return cn_update_pallas(U)
 
 
-def _pick_cn_impl(cn_impl: str) -> str:
-    if cn_impl != "auto":
-        return cn_impl
+def _on_tpu() -> bool:
     import jax.extend.backend
 
-    return "pallas" if jax.extend.backend.get_backend().platform == "tpu" else "xla"
+    return jax.extend.backend.get_backend().platform == "tpu"
+
+
+def _resident_tile(batch: int) -> int:
+    """Largest divisor of batch that is <= 64 and a multiple of 8 (0 = none)."""
+    for t in range(min(batch, 64), 7, -1):
+        if batch % t == 0 and t % 8 == 0:
+            return t
+    return 0
+
+
+def _pick_impl(impl: str, graph: TannerGraph, batch: int) -> str:
+    """Resolve "auto": resident kernel when it applies, else Pallas K1 on
+    TPU, else pure XLA."""
+    if impl != "auto":
+        return impl
+    if not _on_tpu():
+        return "xla"
+    if graph.q <= 32 and _resident_tile(batch):
+        return "resident"
+    return "pallas"
 
 
 def decode(
@@ -112,12 +130,25 @@ def decode(
     """QSPA decode of a batch: llr [B, N, q] -> DecodeResult.
 
     batch_last=True uses the TPU-fast layout (lane axis = frame batch);
-    both paths implement identical update equations. cn_impl selects the
-    check-node kernel: "pallas" (fused K1, TPU only), "xla", or "auto"
-    (pallas on TPU, xla elsewhere).
+    all paths implement the same BP update equations. cn_impl selects the
+    implementation:
+      "resident" — Pallas K0: the entire multi-iteration decode runs in one
+                   VMEM-resident kernel (TPU, q <= 32; fastest by far);
+      "pallas"   — Pallas K1 fused check-node kernel inside the XLA loop;
+      "xla"      — pure-XLA batch-last path (CPU-runnable, semantic ref);
+      "auto"     — resident when applicable, else pallas on TPU, else xla.
+    The resident path runs probability-domain BP (scale-invariant, same
+    fixed point); hard decisions can differ from the log-domain paths in
+    rare fp-tie cases.
     """
     if batch_last:
-        impl = _pick_cn_impl(cn_impl)
+        impl = _pick_impl(cn_impl, graph, llr.shape[0])
+        if impl == "resident":
+            from nbldpc_tpu.kernels.qspa_resident import get_resident_decoder
+
+            dec = get_resident_decoder(graph, max_iters, early_term)
+            hard, done, iters = dec(llr, tb=_resident_tile(llr.shape[0]))
+            return common.DecodeResult(hard=hard, done=done, iters=iters)
         cn = qspa_cn_update_bl_pallas if impl == "pallas" else qspa_cn_update_bl
         return common.decode_bl(graph, llr, cn, max_iters, early_term)
     return common.decode(graph, llr, qspa_cn_update, max_iters, early_term)

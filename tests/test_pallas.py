@@ -39,6 +39,68 @@ def test_cn_kernel_interpret_matches_xla(q, n, m):
     )
 
 
+def _noisy(spec, frames, ebn0, seed):
+    from nbldpc_tpu.channel import ebn0_to_sigma, transmit
+    from nbldpc_tpu.encode import Encoder
+
+    enc = Encoder(spec)
+    u = jax.random.randint(
+        jax.random.PRNGKey(seed), (frames, enc.k), 0, spec.q, dtype=jnp.int32
+    )
+    cw = enc.encode(u)
+    sigma = float(ebn0_to_sigma(ebn0, spec.k / spec.n))
+    return cw, transmit(jax.random.PRNGKey(seed + 1), cw, sigma, spec.q)
+
+
+@pytest.mark.parametrize("q,n,m", [(4, 12, 6), (16, 16, 8)])
+def test_resident_kernel_interpret_matches_xla(q, n, m):
+    """K0 resident decoder (prob-domain BP) reproduces the log-domain XLA
+    path exactly on these seeds: hard decisions, done flags, iters."""
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA
+
+    spec = make_peg_code(n, m, q, dv=2, seed=7)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 8, 2.5, seed=11)
+    ref = qspa.decode(g, llr, max_iters=8, early_term=True, cn_impl="xla")
+    dec = ResidentQSPA(g, max_iters=8, early_term=True)
+    hard, done, iters = dec(llr, tb=8, interpret=True)
+    np.testing.assert_array_equal(np.array(ref.hard), np.array(hard))
+    np.testing.assert_array_equal(np.array(ref.done), np.array(done))
+    np.testing.assert_array_equal(np.array(ref.iters), np.array(iters))
+
+
+def test_resident_kernel_fixed_budget_interpret(small_codes):
+    """Fixed-budget mode (fori, stats each iter) matches early-term answers."""
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA
+
+    spec = small_codes["gf16_tiny"]
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 8, 2.5, seed=3)
+    d1 = ResidentQSPA(g, max_iters=6, early_term=True)
+    d2 = ResidentQSPA(g, max_iters=6, early_term=False)
+    h1, dn1, it1 = d1(llr, tb=8, interpret=True)
+    h2, dn2, it2 = d2(llr, tb=8, interpret=True)
+    np.testing.assert_array_equal(np.array(h1), np.array(h2))
+    np.testing.assert_array_equal(np.array(dn1), np.array(dn2))
+    np.testing.assert_array_equal(np.array(it1), np.array(it2))
+
+
+@pytest.mark.tpu
+def test_resident_kernel_device_statistical():
+    """On-device K0 vs XLA path: done flags equal; >=99% hard agreement
+    (prob- vs log-domain f32 drift can flip rare near-tie symbols)."""
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA
+
+    spec = make_peg_code(204, 102, 16, dv=2, seed=1)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 256, 2.0, seed=5)
+    ref = qspa.decode(g, llr, max_iters=20, early_term=True, cn_impl="xla")
+    dec = ResidentQSPA(g, max_iters=20, early_term=True)
+    hard, done, iters = jax.jit(lambda x: dec(x, tb=64))(llr)
+    assert np.mean(np.array(ref.hard) == np.array(hard)) > 0.99
+    assert np.mean(np.array(ref.done) == np.array(done)) > 0.99
+
+
 @pytest.mark.tpu
 def test_cn_kernel_device_matches_xla():
     spec = make_peg_code(204, 102, 16, dv=2, seed=1)
