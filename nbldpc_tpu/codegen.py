@@ -32,27 +32,49 @@ def _peg_structure(n: int, m: int, dv: np.ndarray, rng: np.random.Generator):
     cn_vars = [[] for _ in range(m)]     # vars adjacent to each cn
     cn_deg = np.zeros(m, dtype=np.int64)
 
+    from nbldpc_tpu import native
+
+    use_native = native.available()
+
+    def _bfs_dist(v: int) -> np.ndarray:
+        """Distance from variable v to every check in the current subgraph."""
+        if use_native:
+            vn_ptr = np.cumsum([0] + [len(x) for x in vn_checks]).astype(np.int32)
+            vn_adj = np.fromiter(
+                (c for x in vn_checks for c in x), np.int32, count=vn_ptr[-1]
+            )
+            cn_ptr = np.cumsum([0] + [len(x) for x in cn_vars]).astype(np.int32)
+            cn_adj = np.fromiter(
+                (u for x in cn_vars for u in x), np.int32, count=cn_ptr[-1]
+            )
+            d = native.peg_bfs(vn_ptr, vn_adj, cn_ptr, cn_adj, n, m, v)
+            if d is not None:
+                d = d.astype(np.int64)
+                d[d == np.iinfo(np.int32).max] = np.iinfo(np.int64).max
+                return d
+        dist = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+        seen_v = np.zeros(n, dtype=bool)
+        seen_c = np.zeros(m, dtype=bool)
+        seen_v[v] = True
+        frontier = deque([("v", v, 0)])
+        while frontier:
+            kind, node, d = frontier.popleft()
+            if kind == "v":
+                for c in vn_checks[node]:
+                    if not seen_c[c]:
+                        seen_c[c] = True
+                        dist[c] = d + 1
+                        frontier.append(("c", c, d + 1))
+            else:
+                for u in cn_vars[node]:
+                    if not seen_v[u]:
+                        seen_v[u] = True
+                        frontier.append(("v", u, d + 1))
+        return dist
+
     for v in range(n):
         for _k in range(int(dv[v])):
-            # BFS from v over the current bipartite graph -> distance to checks
-            dist = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
-            seen_v = np.zeros(n, dtype=bool)
-            seen_c = np.zeros(m, dtype=bool)
-            seen_v[v] = True
-            frontier = deque([("v", v, 0)])
-            while frontier:
-                kind, node, d = frontier.popleft()
-                if kind == "v":
-                    for c in vn_checks[node]:
-                        if not seen_c[c]:
-                            seen_c[c] = True
-                            dist[c] = d + 1
-                            frontier.append(("c", c, d + 1))
-                else:
-                    for u in cn_vars[node]:
-                        if not seen_v[u]:
-                            seen_v[u] = True
-                            frontier.append(("v", u, d + 1))
+            dist = _bfs_dist(v)
             # degree-constrained PEG: restrict to minimum-degree checks first
             # (keeps row degrees balanced to ceil/floor(E/M) — dense padded
             # compute on TPU pays for dc_max, so balance beats a little girth),

@@ -26,6 +26,15 @@ def gf_row_reduce(H: np.ndarray, gf: GF):
     pivots are 1, eliminated above and below), pivot_cols the pivot column of
     each of the first `rank` rows.
     """
+    # Native C++ path (same pivoting order; tests/test_native.py pins
+    # equality). Falls back to the numpy loop below when unavailable.
+    from nbldpc_tpu import native
+
+    if native.available():
+        out = native.gf_row_reduce(np.asarray(H), gf.q, gf.mul, gf.inv)
+        if out is not None:
+            return out
+
     R = np.asarray(H, dtype=np.int64).copy()
     m, n = R.shape
     pivot_cols = []

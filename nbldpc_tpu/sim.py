@@ -205,10 +205,14 @@ def run_sweep(
         from nbldpc_tpu.parallel.mesh import sim_shardings
 
         sh = sim_shardings(mesh)
+        # Multi-process: replicate the tiny per-SNR counters so every host
+        # can device_get them (the psum is the only cross-host collective).
+        multiproc = jax.process_count() > 1
+        io_sh = sh["replicated"] if multiproc else sh["per_snr"]
         step = jax.jit(
             step,
-            in_shardings=(sh["replicated"], sh["per_snr"]),
-            out_shardings=sh["per_snr"],
+            in_shardings=(sh["replicated"], io_sh),
+            out_shardings=io_sh,
         )
     else:
         step = jax.jit(step)
