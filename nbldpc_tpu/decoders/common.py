@@ -29,11 +29,12 @@ class DecodeResult(NamedTuple):
 
 
 class _State(NamedTuple):
-    C: jnp.ndarray       # [B, M, dc_max, q] check->var extrinsic (log)
-    hard: jnp.ndarray    # [B, N]
-    done: jnp.ndarray    # [B]
-    iters: jnp.ndarray   # [B]
-    it: jnp.ndarray      # () loop counter
+    Cv: jnp.ndarray        # [B, N, dv_max, q] check->var extrinsic, VN-major
+    posterior: jnp.ndarray # [B, N, q]
+    hard: jnp.ndarray      # [B, N]
+    done: jnp.ndarray      # [B]
+    iters: jnp.ndarray     # [B]
+    it: jnp.ndarray        # () loop counter
 
 
 CnUpdateFn = Callable[[jnp.ndarray, TannerGraph], jnp.ndarray]
@@ -70,14 +71,21 @@ def decode(
     max_iters: int,
     early_term: bool = True,
 ) -> DecodeResult:
-    """Run iterative BP decoding. Pure and jittable; vmap-free batched."""
+    """Run iterative BP decoding. Pure and jittable; vmap-free batched.
+
+    Same traffic-minimizing structure as decode_bl: the state carries the
+    VN-major (already-gathered) extrinsics + posterior, so each iteration
+    does exactly one down-gather and one up-gather; only the small
+    hard/done/iters outputs are frozen for converged frames.
+    """
     B = llr.shape[0]
     llr = llr - jnp.max(llr, axis=-1, keepdims=True)
-    C0 = jnp.zeros((B, graph.m, graph.dc_max, graph.q), llr.dtype)
+    Cv0 = jnp.zeros((B, graph.n, graph.dv_max, graph.q), llr.dtype)
     hard0 = jnp.argmax(llr, axis=-1).astype(jnp.int32)
     done0 = jnp.all(graph.syndrome(hard0) == 0, axis=-1)
     st = _State(
-        C=C0,
+        Cv=Cv0,
+        posterior=llr,
         hard=hard0,
         done=done0,
         iters=jnp.zeros((B,), jnp.int32),
@@ -85,16 +93,19 @@ def decode(
     )
 
     def body(st: _State) -> _State:
-        V, _, _ = vn_update(graph, llr, st.C)
-        C_new = cn_update(V, graph)
-        _, posterior, hard_new = _decision(graph, llr, C_new)
+        Vv = st.posterior[:, :, None, :] - st.Cv              # leave-one-out
+        Vv = Vv - jnp.max(Vv, axis=-1, keepdims=True)
+        U = graph.gather_cn_x(Vv)
+        C_new = cn_update(U, graph)
+        Cv = graph.gather_vn_x(C_new)
+        posterior = llr + jnp.sum(Cv, axis=2)
+        hard_new = jnp.argmax(posterior, axis=-1).astype(jnp.int32)
         done_new = jnp.all(graph.syndrome(hard_new) == 0, axis=-1)
         active = ~st.done
-        keep = st.done
-        C = jnp.where(keep[:, None, None, None], st.C, C_new)
-        hard = jnp.where(keep[:, None], st.hard, hard_new)
+        hard = jnp.where(st.done[:, None], st.hard, hard_new)
         return _State(
-            C=C,
+            Cv=Cv,
+            posterior=posterior,
             hard=hard,
             done=st.done | done_new,
             iters=st.iters + active.astype(jnp.int32),

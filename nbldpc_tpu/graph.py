@@ -170,23 +170,30 @@ class TannerGraph:
     def gather_cn_x(self, Vv: jnp.ndarray) -> jnp.ndarray:
         """VN-major c-domain messages [B, N, dv_max, q] -> CN-major x-domain
         U [B, M, dc_max, q] with U_e(a) = V_e(h_e^{-1} a): routing and GF
-        permutation in ONE gather (pad slots read an appended log-delta0)."""
+        permutation in ONE gather. Pad slots become log-delta0 via a fused
+        `where` (no full-array concat copy); skipped for CN-regular codes."""
         B = Vv.shape[0]
         flat = Vv.reshape(B, -1)
-        pad = jnp.broadcast_to(self._pad_block(Vv.dtype), (B, self.q))
-        flat = jnp.concatenate([flat, pad], axis=1)
-        out = jnp.take(flat, self.down_idx.reshape(-1), axis=1)
-        return out.reshape(B, self.m, self.dc_max, self.q)
+        out = jnp.take(flat, self.down_idx.reshape(-1), axis=1, mode="clip")
+        out = out.reshape(B, self.m, self.dc_max, self.q)
+        if self.has_cn_pads:
+            out = jnp.where(
+                self.cn_mask[None, :, :, None], out, self._pad_block(Vv.dtype)
+            )
+        return out
 
     def gather_vn_x(self, Chat: jnp.ndarray) -> jnp.ndarray:
         """CN-major x-domain messages [B, M, dc_max, q] -> VN-major c-domain
         C [B, N, dv_max, q] with C_e(a) = Chat_e(h_e a): routing and GF
-        permutation in ONE gather (pad slots read an appended zero)."""
+        permutation in ONE gather. Pad slots -> 0 (additive identity) via a
+        fused `where`; skipped for VN-regular codes."""
         B = Chat.shape[0]
         flat = Chat.reshape(B, -1)
-        flat = jnp.concatenate([flat, jnp.zeros((B, 1), Chat.dtype)], axis=1)
-        out = jnp.take(flat, self.up_idx.reshape(-1), axis=1)
-        return out.reshape(B, self.n, self.dv_max, self.q)
+        out = jnp.take(flat, self.up_idx.reshape(-1), axis=1, mode="clip")
+        out = out.reshape(B, self.n, self.dv_max, self.q)
+        if self.has_vn_pads:
+            out = jnp.where(self.vn_mask[None, :, :, None], out, 0.0)
+        return out
 
     # ---- batch-last routing (fast TPU layout: lane axis = frame batch) ----
     #
