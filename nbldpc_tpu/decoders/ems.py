@@ -55,6 +55,9 @@ def _merge(acc: jnp.ndarray, operand: jnp.ndarray, nm: int, xor_tbl) -> jnp.ndar
     XOR-shifted positions. Equivalent to (truncated) max-convolution over
     (GF(2^p), +).
     """
+    q = operand.shape[-1]
+    if nm >= q:
+        return _merge_dense(acc, operand, q)
     vals, idx = jax.lax.top_k(operand, nm)            # [..., nm]
     shift = xor_tbl[idx]                               # [..., nm, q]: idx ^ a
     gathered = jnp.take_along_axis(
@@ -62,6 +65,22 @@ def _merge(acc: jnp.ndarray, operand: jnp.ndarray, nm: int, xor_tbl) -> jnp.ndar
     )                                                  # acc[a ^ idx_t]
     cand = vals[..., None] + gathered                  # [..., nm, q]
     return jnp.max(cand, axis=-2)
+
+
+def _merge_dense(acc: jnp.ndarray, operand: jnp.ndarray, q: int) -> jnp.ndarray:
+    """Untruncated max-convolution: out[a] = max_b operand[b] + acc[a ^ b].
+
+    Identical semantics to _merge when nm == q (top-q keeps everything), but
+    every gather has STATIC indices (an XOR lane permutation per b), which
+    XLA lowers to cheap shuffles on TPU — the truncated path's per-element
+    dynamic gathers are ~1000x slower there.
+    """
+    tbl = _xor_table(q)
+    out = None
+    for b in range(q):
+        cand = operand[..., b : b + 1] + acc[..., tbl[b]]
+        out = cand if out is None else jnp.maximum(out, cand)
+    return out
 
 
 def ems_cn_update(

@@ -42,38 +42,32 @@ def _two_deviation(m1x, c1x, m2x, xor_tbl):
     m1x, m2x: [B, M, q] best / second-best deviation value per row
     c1x:      [B, M, q] column of the best
     returns dw2 [B, M, q]: max over e1^e2=eta (e1,e2 != 0) with collision fix.
+
+    TPU-native form: iterate e1 over the (static) GF symbols; the e2 = e1^eta
+    side is then a STATIC XOR lane-permutation of eta — no dynamic gathers
+    (per-element take_along_axis is ~1000x slower on TPU and was faulting
+    the runtime at production batch sizes).
     """
     q = m1x.shape[-1]
-    g = max(1, min(q, 4096 // q))          # e1 chunk size (power of two)
-    steps = q // g
-    iota_q = jax.lax.broadcasted_iota(jnp.int32, (1, q), 1)      # [1, q]
-
-    def body(i, dw):
-        e1 = jax.lax.dynamic_slice_in_dim(iota_q, i * g, g, 1)[0]   # [g]
-        shift = xor_tbl[e1]                                         # [g, q] e1^eta
-        v1 = jax.lax.dynamic_slice_in_dim(m1x, i * g, g, -1)        # [B, M, g]
-        v2 = jax.lax.dynamic_slice_in_dim(m2x, i * g, g, -1)
-        c1 = jax.lax.dynamic_slice_in_dim(c1x, i * g, g, -1)
-        # gather the e2 = e1 ^ eta side for all eta
-        sh = jnp.broadcast_to(shift, m1x.shape[:-1] + shift.shape).reshape(
-            m1x.shape[:-1] + (g * q,)
-        )
-        w1 = jnp.take_along_axis(m1x, sh, axis=-1).reshape(m1x.shape[:-1] + (g, q))
-        w2 = jnp.take_along_axis(m2x, sh, axis=-1).reshape(m1x.shape[:-1] + (g, q))
-        d1 = jnp.take_along_axis(c1x, sh, axis=-1).reshape(m1x.shape[:-1] + (g, q))
-        collide = c1[..., None] == d1
+    tbl = _xor_table(q)                                 # numpy, static
+    dw = jnp.full_like(m1x, NEG)
+    for e1 in range(1, q):
+        perm = tbl[e1]                                  # eta -> e1 ^ eta
+        v1 = m1x[..., e1 : e1 + 1]
+        v2 = m2x[..., e1 : e1 + 1]
+        c1 = c1x[..., e1 : e1 + 1]
+        w1 = m1x[..., perm]
+        w2 = m2x[..., perm]
+        d1 = c1x[..., perm]
         cand = jnp.where(
-            collide,
-            jnp.maximum(v1[..., None] + w2, v2[..., None] + w1),
-            v1[..., None] + w1,
+            c1 == d1,
+            jnp.maximum(v1 + w2, v2 + w1),
+            v1 + w1,
         )
-        # invalid: e1 = 0 (whole row), e2 = 0 (eta == e1), eta = 0
-        bad = (e1[:, None] == 0) | (shift == 0) | (iota_q == 0)
-        cand = jnp.where(bad, NEG, cand)
-        return jnp.maximum(dw, jnp.max(cand, axis=-2))
-
-    dw0 = jnp.full_like(m1x, NEG)
-    return jax.lax.fori_loop(0, steps, body, dw0)
+        # invalid: e2 = 0 (i.e. eta == e1) — mask that single static lane
+        cand = jnp.where(jnp.asarray(perm == 0), NEG, cand)
+        dw = jnp.maximum(dw, cand)
+    return dw
 
 
 def tems_cn_update(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> jnp.ndarray:
