@@ -29,11 +29,13 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     on_accel = platform not in ("cpu",)
-    batch = 4096 if on_accel else 64
+    # Big batch = more device work per dispatch: the remote-TPU tunnel caps
+    # dispatch rate at ~15/s, so small steps under-utilize the chip. 16k
+    # frames x 50 iters is ~130 ms of device work per step — tunnel-proof.
+    # (Production sweeps batch the same way; per-step state is just counters.)
+    batch = 16384 if on_accel else 64
     iters = 50
-    # Enough reps to amortize the final device sync (one block_until_ready
-    # costs ~0.2 s through the remote-TPU tunnel; steps pipeline at ~36 ms).
-    reps = 25 if on_accel else 1
+    reps = 8 if on_accel else 1
 
     spec = build_standard_code("gf16_n204_k102")
     graph = TannerGraph(spec)
