@@ -70,21 +70,48 @@ def _two_deviation(m1x, c1x, m2x, xor_tbl):
     return dw
 
 
+def xor_permute_bits(x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Exact data-dependent XOR lane permutation: out[..., a] = x[..., a ^ z].
+
+    z: int32, shape x.shape[:-1]. XOR-by-z decomposes into p conditional
+    STATIC lane permutations (XOR by 2^i, selected by bit i of z) — pure
+    data movement, bit-exact, no dynamic gathers (per-element
+    take_along_axis is ~1000x slower on TPU and was faulting the runtime
+    at production batch sizes).
+    """
+    q = x.shape[-1]
+    a = np.arange(q)
+    zb = z[..., None]
+    for i in range(q.bit_length() - 1):
+        perm = a ^ (1 << i)                              # static lane swap
+        x = jnp.where((zb >> i) & 1 != 0, x[..., perm], x)
+    return x
+
+
 def tems_cn_update(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> jnp.ndarray:
     """Check-node update, x-domain in/out: [B, M, dc_max, q] log-domain.
-    GF permutations live in the routing gathers (graph.gather_*_x)."""
+    GF permutations live in the routing gathers (graph.gather_*_x).
+
+    Fully vectorized over the column axis j (no per-column Python loop) and
+    gather-free: the two data-dependent XOR permutations (delta transform by
+    z, output rotation by beta ^ z_j) run through `xor_permute_bits`.
+    """
     q, dc = graph.q, graph.dc_max
     assert dc >= 3, "T-EMS top-3 scheme needs dc_max >= 3"
     xor_tbl = jnp.asarray(_xor_table(q))
-    mask = graph.cn_mask[None, :, :, None]
+    mask = graph.cn_mask[None, :, :, None]               # [1, M, dc, 1]
 
     U = U - jnp.max(U, axis=-1, keepdims=True)
-    d0 = jnp.full((q,), NEG, U.dtype).at[0].set(0.0)
-    U = jnp.where(mask, U, d0)
+    # keep values finite for the permutes; pad columns re-masked to the
+    # delta0 identity afterwards (argmax of an all-zero pad row is 0, so
+    # pad z = 0 and pads contribute nothing to beta)
+    U = jnp.where(mask, U, 0.0)
 
     # delta domain relative to the most reliable symbol per edge
-    z = jnp.argmax(U, axis=-1).astype(jnp.int32)        # [B, M, dc]
-    dU = jnp.take_along_axis(U, xor_tbl[z], axis=-1)    # dU(eta) = U(eta ^ z)
+    z = jnp.argmax(U, axis=-1).astype(jnp.int32)         # [B, M, dc]
+    dU = xor_permute_bits(U, z)                          # dU(eta) = U(eta ^ z)
+    d0 = jnp.full((q,), NEG, U.dtype).at[0].set(0.0)
+    dU = jnp.where(mask, dU, d0)
     beta = jax.lax.reduce(
         z, np.int32(0), jax.lax.bitwise_xor, dimensions=(2,)
     )                                                    # [B, M]
@@ -93,25 +120,23 @@ def tems_cn_update(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> j
     dUt = jnp.moveaxis(dU, 2, 3)                         # [B, M, q, dc]
     t_val, t_col = jax.lax.top_k(dUt, 3)                 # [B, M, q, 3]
 
-    outs = []
-    for j in range(dc):
-        is_j = t_col == j
-        m1x = jnp.where(is_j[..., 0], t_val[..., 1], t_val[..., 0])
-        c1x = jnp.where(is_j[..., 0], t_col[..., 1], t_col[..., 0])
-        m2x = jnp.where(
-            is_j[..., 0] | is_j[..., 1], t_val[..., 2], t_val[..., 1]
-        )
-        dw = _two_deviation(m1x, c1x, m2x, xor_tbl)      # [B, M, q]
-        dw = jnp.maximum(dw, m1x)                        # one-deviation
-        dw = dw.at[..., 0].set(0.0)                      # zero deviations
-        # back to the normal domain: C_j(a) = dW(a ^ beta ^ z_j)
-        rot = xor_tbl[beta ^ z[:, :, j]]                 # [B, M, q]
-        out = jnp.take_along_axis(dw, rot, axis=-1)
-        out = jnp.minimum(out - jnp.max(out, axis=-1, keepdims=True) + offset, 0.0)
-        outs.append(jnp.maximum(out, NEG))
+    # exclude column j — vectorized over j as a broadcast axis [B, M, dc, q]
+    j_idx = np.arange(dc, dtype=np.int32)[None, None, :, None]
+    tv = t_val[:, :, None, :, :]                         # [B, M, 1, q, 3]
+    tc = t_col[:, :, None, :, :]
+    is_j0 = tc[..., 0] == j_idx                          # [B, M, dc, q]
+    is_j1 = tc[..., 1] == j_idx
+    m1x = jnp.where(is_j0, tv[..., 1], tv[..., 0])
+    c1x = jnp.where(is_j0, tc[..., 1], tc[..., 0])
+    m2x = jnp.where(is_j0 | is_j1, tv[..., 2], tv[..., 1])
 
-    O = jnp.stack(outs, axis=2)                          # [B, M, dc, q]
-    return jnp.where(mask, O, 0.0)
+    dw = _two_deviation(m1x, c1x, m2x, xor_tbl)          # [B, M, dc, q]
+    dw = jnp.maximum(dw, m1x)                            # one-deviation
+    dw = dw.at[..., 0].set(0.0)                          # zero deviations
+    # back to the normal domain: C_j(a) = dW(a ^ beta ^ z_j)
+    out = xor_permute_bits(dw, beta[:, :, None] ^ z)     # [B, M, dc, q]
+    out = jnp.minimum(out - jnp.max(out, axis=-1, keepdims=True) + offset, 0.0)
+    return jnp.where(mask, jnp.maximum(out, NEG), 0.0)
 
 
 def decode(
