@@ -14,8 +14,10 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nbldpc_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR here. Under the axon
+# remote-compile tunnel the persistent cache serializes executables through
+# the RPC layer and inflates compile from ~8s to many minutes (measured
+# 70s at batch 64; unbounded at batch 16k) — it hung the whole benchmark.
 
 import jax
 import jax.numpy as jnp
