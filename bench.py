@@ -1,44 +1,41 @@
 """Headline benchmark: decoded coded symbols/s/chip, QSPA over GF(16).
 
 BASELINE.json metric: "decoded coded symbols/s/chip (QSPA GF(16)); frames/s
-at fixed 50-iter budget" on the (204,102) code, batched 4k frames/step.
+at fixed 50-iter budget" on the (204,102) code, batched frames/step.
 Target >= 1e8 symbols/s/chip (vs_baseline is measured against that target,
 since the reference publishes no numbers — BASELINE.json "published": {}).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Robustness: the axon remote-compile service (PALLAS_AXON_REMOTE_COMPILE=1;
+local AOT is blocked by a libtpu version mismatch) has highly variable
+compile latency — occasionally minutes instead of ~10 s. The parent process
+therefore runs the measurement in a subprocess with a timeout and retries,
+falling back to a smaller batch, so the driver always gets a JSON line.
+NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR — under remote compile the
+persistent cache inflates compile from ~8 s to minutes (measured).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-# NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR here. Under the axon
-# remote-compile tunnel the persistent cache serializes executables through
-# the RPC layer and inflates compile from ~8s to many minutes (measured
-# 70s at batch 64; unbounded at batch 16k) — it hung the whole benchmark.
 
-import jax
-import jax.numpy as jnp
+def worker(batch: int, reps: int) -> None:
+    import jax
+    import jax.numpy as jnp
 
-
-def main() -> None:
     from nbldpc_tpu.codegen import build_standard_code
     from nbldpc_tpu.graph import TannerGraph
     from nbldpc_tpu.sim import make_sim_step
     from nbldpc_tpu.utils.config import DecoderConfig
 
     platform = jax.devices()[0].platform
-    on_accel = platform not in ("cpu",)
-    # Big batch = more device work per dispatch: the remote-TPU tunnel caps
-    # dispatch rate at ~15/s, so small steps under-utilize the chip. 16k
-    # frames x 50 iters is ~130 ms of device work per step — tunnel-proof.
-    # (Production sweeps batch the same way; per-step state is just counters.)
-    batch = 16384 if on_accel else 64
     iters = 50
-    reps = 8 if on_accel else 1
-
     spec = build_standard_code("gf16_n204_k102")
     graph = TannerGraph(spec)
     dec = DecoderConfig(kind="qspa", max_iters=iters, early_term=False)
@@ -46,15 +43,13 @@ def main() -> None:
 
     sigmas = jnp.asarray([0.63])  # ~2 dB at rate 1/2 — mid-waterfall load
     key = jax.random.PRNGKey(0)
+    keys = [jax.random.fold_in(key, r) for r in range(reps)]
 
-    # warmup / compile
-    out = step(key, sigmas)
-    jax.block_until_ready(out)
+    jax.block_until_ready(step(key, sigmas))  # warmup / compile
 
     t0 = time.perf_counter()
-    for r in range(reps):
-        out = step(jax.random.fold_in(key, r), sigmas)
-    jax.block_until_ready(out)
+    outs = [step(k, sigmas) for k in keys]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     frames = batch * reps
@@ -70,8 +65,51 @@ def main() -> None:
         "batch": batch,
         "iters": iters,
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+def main() -> None:
+    # (batch, reps, timeout_s) attempts, most ambitious first. CPU fallback
+    # (no TPU) runs inline with a tiny batch.
+    try:
+        import jax
+
+        on_accel = jax.devices()[0].platform != "cpu"
+    except Exception:
+        on_accel = False
+    if not on_accel:
+        worker(64, 1)
+        return
+
+    attempts = [(8192, 8, 420), (8192, 8, 420), (2048, 8, 300)]
+    for batch, reps, tmo in attempts:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 str(batch), str(reps)],
+                capture_output=True, text=True, timeout=tmo,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# attempt batch={batch} timed out after {tmo}s; retrying",
+                  file=sys.stderr, flush=True)
+            continue
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                print(line, flush=True)
+                return
+        print(f"# attempt batch={batch} failed rc={proc.returncode}:\n"
+              f"{proc.stderr[-2000:]}", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "decoded_coded_symbols_per_s_per_chip_qspa_gf16_50it",
+        "value": 0.0, "unit": "symbols/s/chip", "vs_baseline": 0.0,
+        "error": "all attempts timed out (remote compile service)",
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

@@ -126,6 +126,7 @@ def decode(
     early_term: bool = True,
     batch_last: bool = True,
     cn_impl: str = "auto",
+    mm_precision: str = "f32",
 ) -> common.DecodeResult:
     """QSPA decode of a batch: llr [B, N, q] -> DecodeResult.
 
@@ -146,7 +147,9 @@ def decode(
         if impl == "resident":
             from nbldpc_tpu.kernels.qspa_resident import get_resident_decoder
 
-            dec = get_resident_decoder(graph, max_iters, early_term)
+            mmdt = jnp.bfloat16 if mm_precision == "bf16" else jnp.float32
+            dec = get_resident_decoder(graph, max_iters, early_term,
+                                       mm_dtype=mmdt)
             hard, done, iters = dec(llr, tb=_resident_tile(llr.shape[0]))
             return common.DecodeResult(hard=hard, done=done, iters=iters)
         cn = qspa_cn_update_bl_pallas if impl == "pallas" else qspa_cn_update_bl

@@ -62,12 +62,19 @@ class ResidentQSPA:
     """Builds the resident-decode kernel for one (graph, max_iters) config."""
 
     def __init__(self, graph: TannerGraph, max_iters: int, early_term: bool = True,
-                 stats_each_iter: bool = True):
+                 stats_each_iter: bool = True, mm_dtype=jnp.float32):
         if graph.q > 32:
             raise ValueError("resident kernel supports q <= 32 (use XLA path)")
         self.graph = graph
         self.max_iters = int(max_iters)
         self.early_term = bool(early_term)
+        # Routing-matmul input dtype. bf16 runs the one-hot routing matmuls
+        # (the kernel's dominant cost) at full MXU rate (~3x f32): the one-hot
+        # operand and the hard-decision values (integers < q) are EXACT in
+        # bf16, so routing still selects/sums exactly — only the probability
+        # messages round to bf16 (~0.4% rel), a quantized-BP variant with
+        # indistinguishable BER (validated in test_pallas bf16 tests).
+        self.mm_dtype = mm_dtype
         # stats_each_iter=False: hard/syndrome only after the loop (pure
         # fixed-budget throughput mode; per-frame iters stats become max_iters)
         self.stats_each_iter = bool(stats_each_iter) or self.early_term
@@ -167,10 +174,13 @@ class ResidentQSPA:
         real_mask_t = realm_ref[...]                      # [1, dc, 1, M]
         synk = synk_ref[...]                              # [dc, p, M]
 
+        mmdt = self.mm_dtype
+
         def dotmm(x2, w):
-            # [R, K] @ [K, C] on the MXU, f32 accumulate
+            # [R, K] @ [K, C] on the MXU, f32 accumulate (inputs may be bf16:
+            # one-hot routing is exact; messages round to mm_dtype)
             return jax.lax.dot_general(
-                x2, w, (((1,), (0,)), ((), ())),
+                x2.astype(mmdt), w.astype(mmdt), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -349,13 +359,25 @@ class ResidentQSPA:
         return hard, done, iters
 
 
-def get_resident_decoder(graph: TannerGraph, max_iters: int, early_term: bool):
-    """Build (and cache on the graph) a ResidentQSPA for this config."""
-    key = ("resident", max_iters, early_term)
+def get_resident_decoder(graph: TannerGraph, max_iters: int, early_term: bool,
+                         stats_each_iter: bool = None,
+                         mm_dtype=jnp.float32):
+    """Build (and cache on the graph) a ResidentQSPA for this config.
+
+    stats_each_iter defaults to early_term: in fixed-budget mode the
+    per-iteration hard-decision/syndrome bookkeeping is skipped (iters
+    reports max_iters) — the BASELINE.json fixed-50-iter throughput mode.
+    """
+    if stats_each_iter is None:
+        stats_each_iter = early_term
+    key = ("resident", max_iters, early_term, stats_each_iter,
+           jnp.dtype(mm_dtype).name)
     cache = getattr(graph, "_resident_cache", None)
     if cache is None:
         cache = {}
         graph._resident_cache = cache
     if key not in cache:
-        cache[key] = ResidentQSPA(graph, max_iters, early_term)
+        cache[key] = ResidentQSPA(graph, max_iters, early_term,
+                                  stats_each_iter=stats_each_iter,
+                                  mm_dtype=mm_dtype)
     return cache[key]

@@ -51,7 +51,8 @@ def get_decode_fn(dec: DecoderConfig):
     """
     if dec.kind == "qspa":
         return lambda graph, llr: qspa.decode(
-            graph, llr, dec.max_iters, dec.early_term, batch_last=True
+            graph, llr, dec.max_iters, dec.early_term, batch_last=True,
+            mm_precision=dec.mm_precision,
         )
     cn_update = get_cn_update(dec)
     return lambda graph, llr: common.decode(
@@ -100,7 +101,6 @@ def make_sim_step(
     """
     gf = get_field(graph.q)
     decode_fn = get_decode_fn(dec)
-    popcount = jnp.asarray(gf.bits.sum(axis=1).astype(np.int32))  # bits per symbol
     S, B, N, p = n_snr, batch_per_snr, graph.n, gf.p
     if not zero_codeword and encoder is None:
         raise ValueError("random-codeword mode needs an encoder")
@@ -120,7 +120,9 @@ def make_sim_step(
         res = decode_fn(graph, llr.reshape(S * B, N, graph.q))
         hard = res.hard.reshape(S, B, N)
         sym_err = (hard != cw).astype(jnp.int32)                  # [S,B,N]
-        bit_err = popcount[hard ^ cw]
+        x = hard ^ cw
+        # gather-free popcount over the p bits of the GF(2^p) symbol diff
+        bit_err = sum(((x >> t) & 1) for t in range(p))
         frame_err = jnp.any(sym_err > 0, axis=-1)
         return {
             "frames": jnp.full((S,), B, jnp.int32),

@@ -40,6 +40,9 @@ class DecoderConfig:
     early_term: bool = True
     nm: int = 16                    # EMS truncation
     offset: float = 0.0             # EMS/T-EMS offset correction
+    mm_precision: str = "bf16"      # resident-kernel routing matmuls:
+                                    # "bf16" (full MXU rate; one-hot routing
+                                    # exact, messages quantize) | "f32"
 
 
 @dataclasses.dataclass(frozen=True)
