@@ -38,7 +38,11 @@ def worker(batch: int, reps: int) -> None:
     iters = 50
     spec = build_standard_code("gf16_n204_k102")
     graph = TannerGraph(spec)
-    dec = DecoderConfig(kind="qspa", max_iters=iters, early_term=False)
+    # Throughput mode: fixed budget, no per-iteration bookkeeping (explicit —
+    # the decoder default keeps XLA-matching semantics), bf16 routing (BER
+    # equivalence recorded in benchmarks/results/).
+    dec = DecoderConfig(kind="qspa", max_iters=iters, early_term=False,
+                        stats_each_iter=False, mm_precision="bf16")
     step = jax.jit(make_sim_step(graph, dec, batch_per_snr=batch, n_snr=1))
 
     sigmas = jnp.asarray([0.63])  # ~2 dB at rate 1/2 — mid-waterfall load
@@ -71,10 +75,18 @@ def worker(batch: int, reps: int) -> None:
 def main() -> None:
     # (batch, reps, timeout_s) attempts, most ambitious first. CPU fallback
     # (no TPU) runs inline with a tiny batch.
+    #
+    # Platform probe runs in a THROWAWAY subprocess: importing jax and calling
+    # jax.devices() here would initialize a TPU client in the parent, and on
+    # single-client TPU runtimes the measurement subprocess then cannot
+    # acquire the device (ADVICE.md round 1).
     try:
-        import jax
-
-        on_accel = jax.devices()[0].platform != "cpu"
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=120,
+        )
+        on_accel = probe.stdout.strip().splitlines()[-1] != "cpu"
     except Exception:
         on_accel = False
     if not on_accel:

@@ -127,6 +127,7 @@ def decode(
     batch_last: bool = True,
     cn_impl: str = "auto",
     mm_precision: str = "f32",
+    stats_each_iter: bool = True,
 ) -> common.DecodeResult:
     """QSPA decode of a batch: llr [B, N, q] -> DecodeResult.
 
@@ -149,6 +150,7 @@ def decode(
 
             mmdt = jnp.bfloat16 if mm_precision == "bf16" else jnp.float32
             dec = get_resident_decoder(graph, max_iters, early_term,
+                                       stats_each_iter=stats_each_iter,
                                        mm_dtype=mmdt)
             hard, done, iters = dec(llr, tb=_resident_tile(llr.shape[0]))
             return common.DecodeResult(hard=hard, done=done, iters=iters)

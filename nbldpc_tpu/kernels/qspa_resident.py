@@ -72,8 +72,10 @@ class ResidentQSPA:
         # (the kernel's dominant cost) at full MXU rate (~3x f32): the one-hot
         # operand and the hard-decision values (integers < q) are EXACT in
         # bf16, so routing still selects/sums exactly — only the probability
-        # messages round to bf16 (~0.4% rel), a quantized-BP variant with
-        # indistinguishable BER (validated in test_pallas bf16 tests).
+        # messages round to bf16 (~0.4% rel), a quantized-BP variant.
+        # Opt-in (DecoderConfig default is f32); interpret-mode agreement is
+        # tested in tests/test_pallas.py::test_resident_kernel_bf16_*, and
+        # BER equivalence curves live in benchmarks/results/.
         self.mm_dtype = mm_dtype
         # stats_each_iter=False: hard/syndrome only after the loop (pure
         # fixed-budget throughput mode; per-frame iters stats become max_iters)
@@ -360,16 +362,15 @@ class ResidentQSPA:
 
 
 def get_resident_decoder(graph: TannerGraph, max_iters: int, early_term: bool,
-                         stats_each_iter: bool = None,
+                         stats_each_iter: bool = True,
                          mm_dtype=jnp.float32):
     """Build (and cache on the graph) a ResidentQSPA for this config.
 
-    stats_each_iter defaults to early_term: in fixed-budget mode the
-    per-iteration hard-decision/syndrome bookkeeping is skipped (iters
-    reports max_iters) — the BASELINE.json fixed-50-iter throughput mode.
+    stats_each_iter=True (default) keeps fixed-budget semantics identical to
+    the XLA path (hard decisions frozen at first convergence, per-frame iters
+    counted). Pass False explicitly for pure throughput benchmarking — iters
+    then reports max_iters (BASELINE.json fixed-50-iter throughput mode).
     """
-    if stats_each_iter is None:
-        stats_each_iter = early_term
     key = ("resident", max_iters, early_term, stats_each_iter,
            jnp.dtype(mm_dtype).name)
     cache = getattr(graph, "_resident_cache", None)

@@ -53,6 +53,7 @@ def get_decode_fn(dec: DecoderConfig):
         return lambda graph, llr: qspa.decode(
             graph, llr, dec.max_iters, dec.early_term, batch_last=True,
             mm_precision=dec.mm_precision,
+            stats_each_iter=dec.stats_each_iter,
         )
     cn_update = get_cn_update(dec)
     return lambda graph, llr: common.decode(

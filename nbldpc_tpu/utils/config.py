@@ -40,9 +40,14 @@ class DecoderConfig:
     early_term: bool = True
     nm: int = 16                    # EMS truncation
     offset: float = 0.0             # EMS/T-EMS offset correction
-    mm_precision: str = "bf16"      # resident-kernel routing matmuls:
-                                    # "bf16" (full MXU rate; one-hot routing
-                                    # exact, messages quantize) | "f32"
+    mm_precision: str = "f32"       # resident-kernel routing matmuls:
+                                    # "f32" (default; exact) | "bf16" (full
+                                    # MXU rate; opt-in for throughput runs,
+                                    # BER-validated in benchmarks/results)
+    stats_each_iter: bool = True    # per-iteration hard/syndrome bookkeeping
+                                    # in fixed-budget mode (early_term=False);
+                                    # False = pure throughput mode (iters
+                                    # reports max_iters, no mid-budget freeze)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,6 +85,44 @@ def test_resident_kernel_fixed_budget_interpret(small_codes):
     np.testing.assert_array_equal(np.array(it1), np.array(it2))
 
 
+@pytest.mark.parametrize("q,n,m", [(4, 12, 6), (16, 16, 8)])
+def test_resident_kernel_bf16_interpret(q, n, m):
+    """bf16 routing-matmul mode (opt-in via mm_precision="bf16"): one-hot
+    routing stays exact, messages quantize — hard decisions/done must match
+    the f32 resident kernel on these seeded easy-SNR frames."""
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA
+
+    spec = make_peg_code(n, m, q, dv=2, seed=7)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 8, 3.0, seed=23)
+    d32 = ResidentQSPA(g, max_iters=8, early_term=True)
+    d16 = ResidentQSPA(g, max_iters=8, early_term=True,
+                       mm_dtype=jnp.bfloat16)
+    h32, dn32, _ = d32(llr, tb=8, interpret=True)
+    h16, dn16, _ = d16(llr, tb=8, interpret=True)
+    np.testing.assert_array_equal(np.array(h32), np.array(h16))
+    np.testing.assert_array_equal(np.array(dn32), np.array(dn16))
+
+
+def test_resident_kernel_throughput_stats_mode(small_codes):
+    """stats_each_iter=False (pure throughput mode) must keep the same final
+    hard decisions and done flags as the default bookkeeping mode whenever
+    frames do not wander after converging; iters reports max_iters."""
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA
+
+    spec = small_codes["gf16_tiny"]
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 8, 3.5, seed=9)
+    d_full = ResidentQSPA(g, max_iters=6, early_term=False)
+    d_thru = ResidentQSPA(g, max_iters=6, early_term=False,
+                          stats_each_iter=False)
+    h1, dn1, it1 = d_full(llr, tb=8, interpret=True)
+    h2, dn2, it2 = d_thru(llr, tb=8, interpret=True)
+    np.testing.assert_array_equal(np.array(h1), np.array(h2))
+    np.testing.assert_array_equal(np.array(dn1), np.array(dn2))
+    assert np.all(np.array(it2) == 6)  # fixed budget: no per-iter counting
+
+
 @pytest.mark.tpu
 def test_resident_kernel_device_statistical():
     """On-device K0 vs XLA path: done flags equal; >=99% hard agreement
