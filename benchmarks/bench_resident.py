@@ -1,0 +1,81 @@
+"""Resident-kernel (K0) throughput sweep: mm_dtype x tile size.
+
+Isolates the decode kernel (no channel/counters) on the GF(16) (204,102)
+code at the BASELINE fixed-50-iteration budget. Usage:
+
+    python benchmarks/bench_resident.py [--batch 8192] [--iters 50] [--reps 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--code", default="gf16_n204_k102")
+    ap.add_argument("--tiles", default="64,128")
+    ap.add_argument("--dtypes", default="f32,bf16")
+    ap.add_argument("--wht", default="vpu")
+    ap.add_argument("--ablate", default="",
+                    help="comma-of-semicolon list, e.g. ';rot;wht;route'")
+    args = ap.parse_args()
+
+    from nbldpc_tpu.codegen import build_standard_code
+    from nbldpc_tpu.graph import TannerGraph
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA
+
+    spec = build_standard_code(args.code)
+    graph = TannerGraph(spec)
+    B = args.batch
+    key = jax.random.PRNGKey(0)
+    llr = jax.random.normal(key, (B, spec.n, spec.q), jnp.float32) * 4.0
+
+    for ab in args.ablate.split(";"):
+      for wht in args.wht.split(","):
+        for dt_name in args.dtypes.split(","):
+          mmdt = jnp.bfloat16 if dt_name == "bf16" else jnp.float32
+          for tb in (int(t) for t in args.tiles.split(",")):
+            if B % tb:
+                continue
+            try:
+                dec = ResidentQSPA(graph, args.iters, early_term=False,
+                                   stats_each_iter=False, mm_dtype=mmdt,
+                                   wht_impl=wht, ablate=ab)
+                fn = jax.jit(lambda x, d=dec, t=tb: d(x, tb=t))
+                jax.block_until_ready(fn(llr))
+                times = []
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(fn(llr))
+                    times.append(time.perf_counter() - t0)
+                best = min(times)
+                med = sorted(times)[len(times) // 2]
+                print(json.dumps({
+                    "variant": f"resident_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
+                    "sym_per_s_best": round(B * spec.n / best, 1),
+                    "sym_per_s_median": round(B * spec.n / med, 1),
+                    "step_ms_best": round(best * 1e3, 2),
+                    "step_ms_median": round(med * 1e3, 2),
+                }), flush=True)
+            except Exception as e:  # noqa: BLE001 — report and keep sweeping
+                print(json.dumps({
+                    "variant": f"resident_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
+                    "error": f"{type(e).__name__}: {str(e)[:300]}",
+                }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,14 +93,18 @@ def decode(
     )
 
     def body(st: _State) -> _State:
-        Vv = st.posterior[:, :, None, :] - st.Cv              # leave-one-out
-        Vv = Vv - jnp.max(Vv, axis=-1, keepdims=True)
-        U = graph.gather_cn_x(Vv)
-        C_new = cn_update(U, graph)
-        Cv = graph.gather_vn_x(C_new)
-        posterior = llr + jnp.sum(Cv, axis=2)
-        hard_new = jnp.argmax(posterior, axis=-1).astype(jnp.int32)
-        done_new = jnp.all(graph.syndrome(hard_new) == 0, axis=-1)
+        with jax.named_scope("vn_update"):
+            Vv = st.posterior[:, :, None, :] - st.Cv          # leave-one-out
+            Vv = Vv - jnp.max(Vv, axis=-1, keepdims=True)
+            U = graph.gather_cn_x(Vv)
+        with jax.named_scope("cn_update"):
+            C_new = cn_update(U, graph)
+        with jax.named_scope("posterior"):
+            Cv = graph.gather_vn_x(C_new)
+            posterior = llr + jnp.sum(Cv, axis=2)
+            hard_new = jnp.argmax(posterior, axis=-1).astype(jnp.int32)
+        with jax.named_scope("syndrome"):
+            done_new = jnp.all(graph.syndrome(hard_new) == 0, axis=-1)
         active = ~st.done
         hard = jnp.where(st.done[:, None], st.hard, hard_new)
         return _State(
@@ -201,14 +205,18 @@ def decode_bl(
     )
 
     def body(st: _StateBL) -> _StateBL:
-        Vv = st.posterior[:, None] - st.Cv                    # leave-one-out
-        Vv = Vv - jnp.max(Vv, axis=2, keepdims=True)          # normalize (q)
-        U = graph.gather_cn_x_bl(Vv)                          # [M, dc, q, B]
-        Chat = cn_update_bl(U, graph)
-        Cv = graph.gather_vn_x_bl(Chat)                       # [N, dv, q, B]
-        posterior = llr + jnp.sum(Cv, axis=1)
-        hard_new = jnp.argmax(posterior, axis=1).astype(jnp.int32)
-        done_new = jnp.all(graph.syndrome_bl(hard_new) == 0, axis=0)
+        with jax.named_scope("vn_update"):
+            Vv = st.posterior[:, None] - st.Cv                # leave-one-out
+            Vv = Vv - jnp.max(Vv, axis=2, keepdims=True)      # normalize (q)
+            U = graph.gather_cn_x_bl(Vv)                      # [M, dc, q, B]
+        with jax.named_scope("cn_update"):
+            Chat = cn_update_bl(U, graph)
+        with jax.named_scope("posterior"):
+            Cv = graph.gather_vn_x_bl(Chat)                   # [N, dv, q, B]
+            posterior = llr + jnp.sum(Cv, axis=1)
+            hard_new = jnp.argmax(posterior, axis=1).astype(jnp.int32)
+        with jax.named_scope("syndrome"):
+            done_new = jnp.all(graph.syndrome_bl(hard_new) == 0, axis=0)
         active = ~st.done
         hard = jnp.where(st.done[None, :], st.hard, hard_new)
         return _StateBL(

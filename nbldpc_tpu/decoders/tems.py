@@ -15,10 +15,19 @@ collisions are fixed by substituting the second-best side (the standard
 hardware-friendly approximation — identical in the numpy oracle, so golden
 tests are exact).
 
-TPU-native formulation: everything is dense [B, M, q] min/max reductions and
-XOR-table gathers — no trellis pointers. The two-deviation max-convolution is
-chunked over e1 (lax.fori_loop over q/g steps of [B, M, g, q] tensors) to
-bound memory while staying vectorized (SURVEY.md C10: "dense vectorized ops").
+TPU-native formulation (round 2): everything is dense [*, q, *] max
+reductions and XOR permutes — no trellis pointers, no sorts, no gathers:
+  - the per-row top-3 over columns is an unrolled compare/shift cascade over
+    the dc slices (ties -> lower column, = stable-sort order) — no lax.top_k,
+    no transposes of the minor dims;
+  - data-dependent XOR permutes (delta transform by z, output rotation by
+    beta ^ z_j) decompose into p conditional STATIC lane permutes
+    (ems._xor_perm_dyn);
+  - the two-deviation max-convolution runs as a lax.fori_loop over e1 whose
+    body is O(p) static permutes — compile time is O(p), not O(q) (the
+    round-1 Python-unrolled loop took 181 s to compile at q=64).
+Both the q-last [B, M, dc, q] and batch-last [M, dc, q, B] layouts share the
+same core.
 """
 
 from __future__ import annotations
@@ -30,113 +39,127 @@ import jax.numpy as jnp
 import numpy as np
 
 from nbldpc_tpu.decoders import common
-from nbldpc_tpu.decoders.ems import _xor_table
+from nbldpc_tpu.decoders.ems import _iota, _xor_perm_dyn
 from nbldpc_tpu.graph import TannerGraph
 
 NEG = -1e30
 
 
-def _two_deviation(m1x, c1x, m2x, xor_tbl):
+def _top3_over_dc(Ujs: list):
+    """Per-row top-3 (value, column) over the dc operands (compare/shift
+    cascade; ties keep the earlier = lower column, matching a stable sort).
+
+    Ujs: dc arrays of identical shape. Returns (m1, c1, m2, c2, m3)."""
+    m1 = jnp.full_like(Ujs[0], NEG)
+    m2, m3 = m1, m1
+    c1 = jnp.zeros_like(Ujs[0])
+    c2 = c1
+    for j, v in enumerate(Ujs):
+        b1 = v > m1
+        b2 = (v > m2) & ~b1
+        b3 = (v > m3) & ~b1 & ~b2
+        jf = jnp.float32(j)
+        m3 = jnp.where(b1 | b2, m2, jnp.where(b3, v, m3))
+        m2 = jnp.where(b1, m1, jnp.where(b2, v, m2))
+        c2 = jnp.where(b1, c1, jnp.where(b2, jf, c2))
+        m1 = jnp.where(b1, v, m1)
+        c1 = jnp.where(b1, jf, c1)
+    return m1, c1, m2, c2, m3
+
+
+def _two_deviation(m1x, c1x, m2x, q: int, axis: int):
     """Best two-deviation combination per row.
 
-    m1x, m2x: [B, M, q] best / second-best deviation value per row
-    c1x:      [B, M, q] column of the best
-    returns dw2 [B, M, q]: max over e1^e2=eta (e1,e2 != 0) with collision fix.
+    m1x, m2x: [..., q at axis, ...] best / second-best deviation per row
+    c1x:      column (f32) of the best
+    returns dw2: max over e1 ^ e2 = eta (e1, e2 != 0) with collision fix.
 
-    TPU-native form: iterate e1 over the (static) GF symbols; the e2 = e1^eta
-    side is then a STATIC XOR lane-permutation of eta — no dynamic gathers
-    (per-element take_along_axis is ~1000x slower on TPU and was faulting
-    the runtime at production batch sizes).
-    """
-    q = m1x.shape[-1]
-    tbl = _xor_table(q)                                 # numpy, static
-    dw = jnp.full_like(m1x, NEG)
-    for e1 in range(1, q):
-        perm = tbl[e1]                                  # eta -> e1 ^ eta
-        v1 = m1x[..., e1 : e1 + 1]
-        v2 = m2x[..., e1 : e1 + 1]
-        c1 = c1x[..., e1 : e1 + 1]
-        w1 = m1x[..., perm]
-        w2 = m2x[..., perm]
-        d1 = c1x[..., perm]
-        cand = jnp.where(
-            c1 == d1,
-            jnp.maximum(v1 + w2, v2 + w1),
-            v1 + w1,
-        )
-        # invalid: e2 = 0 (i.e. eta == e1) — mask that single static lane
-        cand = jnp.where(jnp.asarray(perm == 0), NEG, cand)
-        dw = jnp.maximum(dw, cand)
-    return dw
+    lax.fori_loop over e1; the e2 = e1 ^ eta side is a data-dependent XOR
+    permute of O(p) conditional static lane permutes — compile is O(p)."""
+    iota = _iota(q, m1x.ndim, axis)
+
+    def body(e1, dw):
+        e1a = jnp.full((1,) * m1x.ndim, e1, jnp.int32)
+        v1 = jnp.max(jnp.where(iota == e1, m1x, NEG), axis=axis, keepdims=True)
+        v2 = jnp.max(jnp.where(iota == e1, m2x, NEG), axis=axis, keepdims=True)
+        c1 = jnp.max(jnp.where(iota == e1, c1x, NEG), axis=axis, keepdims=True)
+        w1 = _xor_perm_dyn(m1x, e1a, q, axis)
+        w2 = _xor_perm_dyn(m2x, e1a, q, axis)
+        d1 = _xor_perm_dyn(c1x, e1a, q, axis)
+        cand = jnp.where(c1 == d1, jnp.maximum(v1 + w2, v2 + w1), v1 + w1)
+        # invalid: e2 = 0, i.e. eta == e1 — mask that single lane
+        cand = jnp.where(iota == e1, NEG, cand)
+        return jnp.maximum(dw, cand)
+
+    dw0 = jnp.full_like(m1x, NEG)
+    return jax.lax.fori_loop(1, q, body, dw0)
 
 
-def xor_permute_bits(x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
-    """Exact data-dependent XOR lane permutation: out[..., a] = x[..., a ^ z].
+def _cn_tems_core(Ujs: list, q: int, axis: int) -> list:
+    """Shared T-EMS check-node core over one check's dc operands.
 
-    z: int32, shape x.shape[:-1]. XOR-by-z decomposes into p conditional
-    STATIC lane permutations (XOR by 2^i, selected by bit i of z) — pure
-    data movement, bit-exact, no dynamic gathers (per-element
-    take_along_axis is ~1000x slower on TPU and was faulting the runtime
-    at production batch sizes).
-    """
-    q = x.shape[-1]
-    a = np.arange(q)
-    zb = z[..., None]
-    for i in range(q.bit_length() - 1):
-        perm = a ^ (1 << i)                              # static lane swap
-        x = jnp.where((zb >> i) & 1 != 0, x[..., perm], x)
-    return x
+    Ujs: dc arrays [..., q at axis, ...], log-domain x-domain, normalized
+    (max = 0), pad slots = log-delta0. Returns dc extrinsic outputs (before
+    offset/normalize)."""
+    dc = len(Ujs)
+    assert dc >= 3, "T-EMS top-3 scheme needs dc_max >= 3"
+    iota = _iota(q, Ujs[0].ndim, axis)
+
+    # delta domain relative to the most reliable symbol per edge; pad slots
+    # are log-delta0 whose argmax is 0, so they pass through unchanged and
+    # contribute NEG rows to the top-3 (never winning) and 0 to beta.
+    zs, dUs = [], []
+    for u in Ujs:
+        z = jnp.argmax(u, axis=axis, keepdims=True).astype(jnp.int32)
+        zs.append(z)
+        dUs.append(_xor_perm_dyn(u, z, q, axis))
+    beta = functools.reduce(jnp.bitwise_xor, zs)          # [..., 1, ...]
+
+    m1, c1, m2, c2, m3 = _top3_over_dc(dUs)
+
+    outs = []
+    for j, (z, dU) in enumerate(zip(zs, dUs)):
+        jf = jnp.float32(j)
+        is_j0 = c1 == jf
+        is_j1 = c2 == jf
+        m1x = jnp.where(is_j0, m2, m1)
+        c1x = jnp.where(is_j0, c2, c1)
+        m2x = jnp.where(is_j0 | is_j1, m3, m2)
+        dw = _two_deviation(m1x, c1x, m2x, q, axis)
+        dw = jnp.maximum(dw, m1x)                         # one deviation
+        dw = jnp.where(iota == 0, 0.0, dw)                # zero deviations
+        # back to the normal domain: C_j(a) = dW(a ^ beta ^ z_j)
+        outs.append(_xor_perm_dyn(dw, beta ^ z, q, axis))
+    return outs
 
 
 def tems_cn_update(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> jnp.ndarray:
     """Check-node update, x-domain in/out: [B, M, dc_max, q] log-domain.
-    GF permutations live in the routing gathers (graph.gather_*_x).
-
-    Fully vectorized over the column axis j (no per-column Python loop) and
-    gather-free: the two data-dependent XOR permutations (delta transform by
-    z, output rotation by beta ^ z_j) run through `xor_permute_bits`.
-    """
-    q, dc = graph.q, graph.dc_max
-    assert dc >= 3, "T-EMS top-3 scheme needs dc_max >= 3"
-    xor_tbl = jnp.asarray(_xor_table(q))
-    mask = graph.cn_mask[None, :, :, None]               # [1, M, dc, 1]
-
+    GF permutations live in the routing gathers (graph.gather_*_x)."""
+    q = graph.q
+    mask = graph.cn_mask[None, :, :, None]                # [1, M, dc, 1]
     U = U - jnp.max(U, axis=-1, keepdims=True)
-    # keep values finite for the permutes; pad columns re-masked to the
-    # delta0 identity afterwards (argmax of an all-zero pad row is 0, so
-    # pad z = 0 and pads contribute nothing to beta)
-    U = jnp.where(mask, U, 0.0)
-
-    # delta domain relative to the most reliable symbol per edge
-    z = jnp.argmax(U, axis=-1).astype(jnp.int32)         # [B, M, dc]
-    dU = xor_permute_bits(U, z)                          # dU(eta) = U(eta ^ z)
     d0 = jnp.full((q,), NEG, U.dtype).at[0].set(0.0)
-    dU = jnp.where(mask, dU, d0)
-    beta = jax.lax.reduce(
-        z, np.int32(0), jax.lax.bitwise_xor, dimensions=(2,)
-    )                                                    # [B, M]
-
-    # per-row (eta) top-3 deviations over columns
-    dUt = jnp.moveaxis(dU, 2, 3)                         # [B, M, q, dc]
-    t_val, t_col = jax.lax.top_k(dUt, 3)                 # [B, M, q, 3]
-
-    # exclude column j — vectorized over j as a broadcast axis [B, M, dc, q]
-    j_idx = np.arange(dc, dtype=np.int32)[None, None, :, None]
-    tv = t_val[:, :, None, :, :]                         # [B, M, 1, q, 3]
-    tc = t_col[:, :, None, :, :]
-    is_j0 = tc[..., 0] == j_idx                          # [B, M, dc, q]
-    is_j1 = tc[..., 1] == j_idx
-    m1x = jnp.where(is_j0, tv[..., 1], tv[..., 0])
-    c1x = jnp.where(is_j0, tc[..., 1], tc[..., 0])
-    m2x = jnp.where(is_j0 | is_j1, tv[..., 2], tv[..., 1])
-
-    dw = _two_deviation(m1x, c1x, m2x, xor_tbl)          # [B, M, dc, q]
-    dw = jnp.maximum(dw, m1x)                            # one-deviation
-    dw = dw.at[..., 0].set(0.0)                          # zero deviations
-    # back to the normal domain: C_j(a) = dW(a ^ beta ^ z_j)
-    out = xor_permute_bits(dw, beta[:, :, None] ^ z)     # [B, M, dc, q]
+    U = jnp.where(mask, U, d0)                            # pads: identity
+    Ujs = [U[:, :, j, :] for j in range(graph.dc_max)]
+    outs = _cn_tems_core(Ujs, q, axis=-1)
+    out = jnp.stack(outs, axis=2)
     out = jnp.minimum(out - jnp.max(out, axis=-1, keepdims=True) + offset, 0.0)
     return jnp.where(mask, jnp.maximum(out, NEG), 0.0)
+
+
+def tems_cn_update_bl(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> jnp.ndarray:
+    """Batch-last CN update: U [M, dc_max, q, B] log-domain x-domain.
+
+    Maskless: pad CN slots arrive as log-delta0 (graph.gather_cn_x_bl) —
+    argmax 0, NEG deviation rows, 0 contribution to beta — and pad outputs
+    are never routed by the VN gather."""
+    q = graph.q
+    U = U - jnp.max(U, axis=2, keepdims=True)
+    Ujs = [U[:, j] for j in range(graph.dc_max)]          # [M, q, B]
+    outs = _cn_tems_core(Ujs, q, axis=1)
+    out = jnp.stack(outs, axis=1)
+    return jnp.minimum(out - jnp.max(out, axis=2, keepdims=True) + offset, 0.0)
 
 
 def decode(
@@ -145,6 +168,11 @@ def decode(
     max_iters: int = 20,
     offset: float = 0.0,
     early_term: bool = True,
+    batch_last: bool = True,
 ) -> common.DecodeResult:
+    """T-EMS decode of a batch: llr [B, N, q] -> DecodeResult."""
+    if batch_last:
+        cn = functools.partial(tems_cn_update_bl, offset=offset)
+        return common.decode_bl(graph, llr, cn, max_iters, early_term)
     cn = functools.partial(tems_cn_update, offset=offset)
     return common.decode(graph, llr, cn, max_iters, early_term)

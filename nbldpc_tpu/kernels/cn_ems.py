@@ -1,0 +1,105 @@
+"""Pallas K2: fused EMS sort/select check-node update (SURVEY.md §2.2 K2).
+
+Replaces the reference genre's C++ sorted-list merges with ONE fused TPU
+kernel per check-node phase: normalize -> top-nm select -> forward/backward
+elementary merges -> offset correction, all in VMEM — one HBM read and one
+HBM write per message per iteration.
+
+Layout: batch-last [M, dc, q, B] (q on sublanes, frame batch on lanes),
+maskless (pad slots arrive as log-delta0, the merge identity — see
+graph.gather_cn_x_bl).
+
+The algorithm is decoders/ems.py::_cn_ems_core verbatim — the classic
+truncated-list EMS with exact stable top-nm extraction — parameterized by
+the XOR-permute hook: Mosaic has no static gather, so the static single-bit
+XOR permutes along the q (sublane) axis are expressed with `pltpu.roll` +
+an iota select (the identity x[a ^ h] == roll(x, -h)[a] for bit_h(a)=0 /
+roll(x, +h)[a] for bit_h(a)=1, h a power of two — same trick as the K1
+kernel's WHT butterflies). Dense merges walk Gray-code order, so every step
+is exactly one single-bit permute.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbldpc_tpu.decoders.ems import _cn_ems_core, _postprocess
+
+
+def _xor_take_roll(x: jnp.ndarray, h: int, q: int, axis: int) -> jnp.ndarray:
+    """Static XOR permute along `axis` via rolls (Mosaic-friendly).
+
+    h is decomposed into single-bit permutes; for each bit 2^i:
+    x[a ^ 2^i] == roll(x, 2^i)[a] where bit_i(a) = 1, roll(x, q - 2^i)[a]
+    where bit_i(a) = 0 (xor never carries across the 2h block)."""
+    axis = axis % x.ndim
+    shape = [1] * x.ndim
+    shape[axis] = q
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
+    t = 0
+    while (1 << t) <= h:
+        s = 1 << t
+        if h & s:
+            hi = (a_idx & s) != 0
+            x = jnp.where(
+                hi, pltpu.roll(x, s, axis=axis), pltpu.roll(x, q - s, axis=axis)
+            )
+        t += 1
+    return x
+
+
+def _cn_kernel(u_ref, out_ref, *, q: int, nm: int, offset: float):
+    U = u_ref[...]                                    # [TM, dc, q, TB]
+    dc = U.shape[1]
+    U = U - jnp.max(U, axis=2, keepdims=True)
+    Ujs = [U[:, j] for j in range(dc)]                # [TM, q, TB]
+    outs = _cn_ems_core(Ujs, nm, q, axis=1, xor_take=_xor_take_roll)
+    out_ref[...] = _postprocess(jnp.stack(outs, axis=1), offset, axis=2)
+
+
+def _pick_tile(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target (>=1)."""
+    for t in range(min(n, target), 0, -1):
+        if n % t == 0:
+            return t
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("graph", "nm", "offset", "interpret")
+)
+def ems_cn_update_bl_pallas(
+    U: jnp.ndarray,
+    graph=None,
+    nm: int = 16,
+    offset: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused K2 EMS CN update. U [M, dc, q, B] f32 log-domain x-domain.
+
+    `graph` is accepted (and ignored) so the call signature matches the
+    CnUpdateFn contract of decoders/common.py; pads need no masking in the
+    batch-last layout (log-delta0 in, outputs never routed)."""
+    M, dc, q, B = U.shape
+    nm = min(nm, q)
+    TB = _pick_tile(B, 256)
+    # Working set ~ dc+4 arrays of [TM, dc, q, TB] f32; budget ~6 MiB.
+    tm_target = max(1, (6 * 1024 * 1024) // ((dc + 4) * dc * q * TB * 4))
+    TM = _pick_tile(M, tm_target)
+    grid = (M // TM, B // TB)
+    spec = pl.BlockSpec(
+        (TM, dc, q, TB), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_cn_kernel, q=q, nm=nm, offset=offset),
+        out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
+        grid=grid,
+        in_specs=[spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(U)

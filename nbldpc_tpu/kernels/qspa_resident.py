@@ -7,21 +7,35 @@ hard-decision write per frame, total — the true speed-of-light design point
 reference genre's C++ decoder inner loops (SURVEY.md §2.2) at the whole-
 decoder granularity rather than per-phase.
 
-Key TPU-native decisions:
-- Layout [q, dc, TB, M]: GF symbols on the leading axis (WHT = static
-  slice/concat butterflies), frames on sublanes, checks on lanes.
-- Tanner-graph routing = one-hot f32 matmuls on the MXU (exact for
-  permutation matrices); no gathers anywhere.
-- Per-edge GF-weight permutations = q x q masked accumulates against
-  precomputed 0/1 masks (static, unrolled; q <= 32 guards apply).
-- Probability-domain BP with per-iteration renormalization: zero
-  transcendentals inside the loop (one softmax before it). Mathematically
-  identical to the log-domain path (BP is scale-invariant); f32 rounding
-  differs at ~1e-6.
+Round-2 design (the kernel is VPU-bound, measured ~3.2e12 VPU ops/s at the
+v5e vector-unit ceiling in the round-1 shape; every change below trades VPU
+passes for idle MXU cycles or deletes work outright):
+
+- Layout [q, dc, TB, M]: GF symbols on the leading axis, frames on sublanes,
+  checks on lanes. Messages are carried in the EXP-ORDER basis
+  (rows = [0, alpha^0, ..., alpha^{q-2}]) for the whole decode, so per-edge
+  GF-weight permutations are pure conditional rotations — the natural<->exp
+  basis reorders are folded into the WHT matmul operands (free).
+- LOG-DOMAIN routing: posterior = prior + sum_j logC_j @ E_j^T. Down and up
+  are dc one-hot matmuls each on the MXU (exact for selection matrices);
+  leave-one-out is a subtraction. 2*dc matmuls/iter total vs the round-1
+  prob-domain (dv+1)*dc.
+- WHT ON THE MXU: the [q, dc, *] <-> flattened [q*dc, TB*M] reshape is free
+  (leading axes), so the WHT along q is one [q*dc, q*dc] matmul with the
+  block-diagonal Hadamard operator — with the exp->nat input reorder folded
+  into the forward operator and nat->exp + the 1/q scale folded into the
+  inverse operator. Kills ~24 VPU passes/iteration from the round-1 design.
+- Normalizations deleted by invariants instead of computed: log-messages and
+  the posterior are always <= 0 and >= log(PROB_FLOOR), so the CN softmax
+  needs no max-subtraction (exp bounded by 1/PROB_FLOOR) and neither the
+  extrinsics nor the posterior are renormalized (BP is shift-invariant).
+- CN leave-one-out via direct prefix/suffix spectrum products (|F| <= 1 for
+  pmf spectra — cannot overflow); the only transcendentals per iteration are
+  the softmax exp and one log.
 - Syndrome via GF bit-decomposition (int ops), per-frame done/iters
   bookkeeping inside the kernel; optional whole-block early exit.
 
-Requires q * dc * TB * M * 4B * ~6 live arrays to fit VMEM — the standard
+Requires q * dc * TB * M * 4B * ~5 live arrays to fit VMEM — the standard
 NB-LDPC code sizes (SURVEY.md §6) fit comfortably at TB=64..128.
 """
 
@@ -37,42 +51,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nbldpc_tpu.graph import TannerGraph
+from nbldpc_tpu.kernels.wht import wht_matrix
 
 PROB_FLOOR = 1e-12
-
-
-def _wht_lead(x: jnp.ndarray, q: int) -> jnp.ndarray:
-    """Unnormalized WHT along leading axis 0 via static slices + concat."""
-    p = q.bit_length() - 1
-    sign_shape = (q,) + (1,) * (x.ndim - 1)
-    a_idx = jax.lax.broadcasted_iota(jnp.int32, sign_shape, 0)
-    for i in range(p):
-        h = 1 << i
-        pieces = []
-        for b in range(0, q, 2 * h):
-            pieces.append(x[b + h : b + 2 * h])
-            pieces.append(x[b : b + h])
-        partner = jnp.concatenate(pieces, axis=0)
-        hi = (a_idx & h) != 0
-        x = jnp.where(hi, partner - x, partner + x)
-    return x
 
 
 class ResidentQSPA:
     """Builds the resident-decode kernel for one (graph, max_iters) config."""
 
     def __init__(self, graph: TannerGraph, max_iters: int, early_term: bool = True,
-                 stats_each_iter: bool = True, mm_dtype=jnp.float32):
+                 stats_each_iter: bool = True, mm_dtype=jnp.float32,
+                 wht_impl: str = "vpu", ablate: str = ""):
         if graph.q > 32:
             raise ValueError("resident kernel supports q <= 32 (use XLA path)")
         self.graph = graph
         self.max_iters = int(max_iters)
         self.early_term = bool(early_term)
-        # Routing-matmul input dtype. bf16 runs the one-hot routing matmuls
-        # (the kernel's dominant cost) at full MXU rate (~3x f32): the one-hot
-        # operand and the hard-decision values (integers < q) are EXACT in
-        # bf16, so routing still selects/sums exactly — only the probability
-        # messages round to bf16 (~0.4% rel), a quantized-BP variant.
+        # WHT implementation: "vpu" = explicit-slice butterflies (p stages,
+        # ~2 VPU passes each) bracketed by one exp<->nat basis reorder pair
+        # per iteration; "mxu" = one [q*dc, q*dc] rank-3 dot_general per WHT
+        # with the basis reorders folded into the operator (zero VPU cost,
+        # but Mosaic compiles the in-loop rank-3 contraction very slowly).
+        self.wht_impl = wht_impl
+        # Profiling aid (benchmarks/bench_resident.py --ablate, SURVEY §5.1):
+        # comma-separated phases to REMOVE from the loop so their cost can be
+        # attributed by differencing step times (a fused VMEM-resident kernel
+        # has no per-op trace). Results are numerically wrong under ablation.
+        # Flags: "rot" (GF-weight rotations), "wht" (both WHTs + reorders),
+        # "route" (both routing matmuls), "trans" (exp/log transcendentals),
+        # "lou" (leave-one-out spectrum products).
+        self.ablate = frozenset(a for a in ablate.split(",") if a)
+        # Matmul input dtype for routing + WHT. bf16 runs the MXU at full
+        # rate (~2-3x f32): the one-hot routing operand, the +-1 Hadamard
+        # entries, and hard-decision integers < q are EXACT in bf16 — only
+        # the log-domain messages round, a quantized-BP variant.
         # Opt-in (DecoderConfig default is f32); interpret-mode agreement is
         # tested in tests/test_pallas.py::test_resident_kernel_bf16_*, and
         # BER equivalence curves live in benchmarks/results/.
@@ -88,34 +100,23 @@ class ResidentQSPA:
 
         cn_vn = g.cn_vn_np            # [M, dc]
         cn_mask = g.cn_mask_np        # [M, dc]
-        vn_edge = g.vn_edge_np        # [N, dv] flat m*dc + j (pad = M*dc)
-        vn_mask = g.vn_mask_np        # [N, dv]
-        perm_down = np.asarray(g.perm_down)  # [M, dc, q]: h^-1 * a
-        perm_up = np.asarray(g.perm_up)      # [M, dc, q]: h * a
         syn_k = np.asarray(g.syn_k)          # [M, dc, p]
 
-        # Routing one-hots (f32; exact under matmul).
-        E_j = np.zeros((dc, n, m), np.float32)      # expand vn -> cn slot j
+        # Routing one-hots (exact under matmul). E_j[j, n, m] = 1 iff edge
+        # (m, j) connects variable n. Down: Ve[:, j] = post @ E_j - lC[:, j].
+        # Up: post = prior + sum_j lC[:, j] @ E_j^T (contract E_j dim 0).
+        E_j = np.zeros((dc, n, m), np.float32)
         for mi in range(m):
             for j in range(dc):
                 if cn_mask[mi, j]:
                     E_j[j, cn_vn[mi, j], mi] = 1.0
-        B_sj = np.zeros((dv, dc, m, n), np.float32)  # cn slot j -> vn slot s
-        pad_route = np.ones((dv, n), np.float32)     # 1.0 where vn lacks slot s
-        for ni in range(n):
-            for s in range(dv):
-                if vn_mask[ni, s]:
-                    e = int(vn_edge[ni, s])
-                    B_sj[s, e % dc, e // dc, ni] = 1.0
-                    pad_route[s, ni] = 0.0
 
         # GF-weight permutations as exp-order rotations: for a = alpha^i,
-        # h*a = alpha^{(i+log h) mod (q-1)}, so with the q axis reordered to
+        # h*a = alpha^{(i+log h) mod (q-1)}, so in the exp-order basis
         # [0, alpha^0, ..., alpha^{q-2}] the per-edge permutation is a
-        # rotation of the q-1 nonzero rows by log(h). A rotation by r is
-        # applied as ceil(log2(q-1)) CONDITIONAL power-of-two rotations
-        # (binary decomposition of r), each a static slice-roll + per-lane
-        # select — ~12 VPU ops/element instead of q*2 for dense masks.
+        # rotation of the q-1 nonzero rows by log(h), applied as
+        # ceil(log2(q-1)) CONDITIONAL power-of-two rotations (binary
+        # decomposition of log h), each a static slice-roll + per-lane select.
         L = q - 1
         self.rot_bits = max(1, L.bit_length())
         lw = g.gf.log[np.maximum(g.cn_w_np, 1)]            # [M, dc] log h
@@ -128,15 +129,30 @@ class ResidentQSPA:
             return out
         self.rbits_down = bits_of(r_down)
         self.rbits_up = bits_of(r_up)
-        # natural <-> exp-order row maps (static row permutations, free)
+        # exp-order basis: row k holds symbol n2e[k]
         self.nat_to_exp = np.concatenate(
-            [[0], g.gf.exp[:L]]).astype(np.int32)           # row k reads symbol
+            [[0], g.gf.exp[:L]]).astype(np.int32)
         self.exp_to_nat = np.zeros(q, np.int32)
         for k, s in enumerate(self.nat_to_exp):
             self.exp_to_nat[s] = k
 
-        # Pad-slot fixups: delta0 pmf on pad (m, j) slots. Shapes broadcast
-        # directly over messages [q, dc, TB, M].
+        # WHT operators on the flattened [q*dc, TB*M] view with the basis
+        # reorders folded in (see module docstring):
+        #   forward  A1[(a,j),(k,j')] = H[a, n2e[k]] delta_jj'   (exp -> nat)
+        #   inverse  A2[(k,j),(b,j')] = H[n2e[k], b]/q delta_jj' (nat -> exp)
+        # All entries are +-1 (or +-1/q, an exact power of two) — exact bf16.
+        H = wht_matrix(q).astype(np.float32)
+        n2e = self.nat_to_exp
+        A1 = np.zeros((q * dc, q * dc), np.float32)
+        A2 = np.zeros((q * dc, q * dc), np.float32)
+        for j in range(dc):
+            A1[j::dc, j::dc] = H[:, n2e]
+            A2[j::dc, j::dc] = H[n2e, :] / q
+        self.A1 = A1
+        self.A2 = A2
+
+        # Pad-slot fixups (irregular codes only): delta0 pmf on pad (m, j)
+        # CN-input slots, in the exp-order basis (symbol 0 is row 0 in both).
         padm = (~cn_mask.T).astype(np.float32)             # [dc, M]
         delta0 = np.zeros((q,), np.float32)
         delta0[0] = 1.0
@@ -144,75 +160,118 @@ class ResidentQSPA:
             delta0[:, None, None, None] * padm[None, :, None, :]
         ).astype(np.float32)                               # [q, dc, 1, M]
         self.real_mask = cn_mask.T.astype(np.float32)[None, :, None, :]  # [1,dc,1,M]
+        self.has_pads = bool(padm.any())
 
         self.E_j = E_j
-        self.B_sj = B_sj
-        self.pad_route = pad_route
         self.syn_k_jpm = np.ascontiguousarray(
             syn_k.transpose(1, 2, 0)
         ).astype(np.int32)                                  # [dc, p, M]
 
     # ---- kernel body ----------------------------------------------------
 
-    def _kernel(self, llr_ref, ej_ref, bsj_ref, padr_ref, rbd_ref, rbu_ref,
+    def _kernel(self, llr_ref, ej_ref, a1_ref, a2_ref, rbd_ref, rbu_ref,
                 padd_ref, realm_ref, synk_ref, hard_ref, stats_ref):
         q, n, m, dc, dv, p = self.q, self.n, self.m, self.dc, self.dv, self.p
         TB = llr_ref.shape[1]
 
-        L = llr_ref[...]                                  # [q, TB, N]
-        # prob-domain prior: softmax over leading q (only transcendental)
-        mx = L[0]
+        n2e = [int(v) for v in self.nat_to_exp]
+        L = q - 1
+
+        def _rows(X, order):
+            return jnp.concatenate([X[k : k + 1] for k in order], axis=0)
+
+        mdt = self.mm_dtype
+
+        Lr = llr_ref[...]                                 # [q, TB, N] natural
+        # exp-order log prior, normalized once so max over q = 0 (keeps the
+        # <=0 invariant that makes all later normalizations unnecessary).
+        # In bf16 mode ALL message tensors are stored bf16: the kernel is
+        # VMEM-bandwidth bound (measured via --ablate: removing both routing
+        # matmuls changes step time by <2%), so halving bytes/pass is the
+        # dominant lever; bf16-quantized BP is BER-validated in
+        # benchmarks/results/.
+        mx = Lr[0]
         for a in range(1, q):
-            mx = jnp.maximum(mx, L[a])
-        Pe = jnp.exp(L - mx[None])
-        prior = Pe / jnp.sum(Pe, axis=0, keepdims=True)   # [q, TB, N]
+            mx = jnp.maximum(mx, Lr[a])
+        prior = _rows(Lr - mx[None], n2e).astype(mdt)     # [q, TB, N] exp-order
 
         E = ej_ref[...]                                   # [dc, N, M]
-        Bm = bsj_ref[...]                                 # [dv, dc, M, N]
-        padr = padr_ref[...]                              # [dv, N]
+        A1 = a1_ref[...]                                  # [q*dc, q*dc]
+        A2 = a2_ref[...]                                  # [q*dc, q*dc]
         RBd = rbd_ref[...]                                # [T, dc, 1, M]
         RBu = rbu_ref[...]                                # [T, dc, 1, M]
         pad_delta_t = padd_ref[...]                       # [q, dc, 1, M]
         real_mask_t = realm_ref[...]                      # [1, dc, 1, M]
         synk = synk_ref[...]                              # [dc, p, M]
 
-        mmdt = self.mm_dtype
-
-        def dotmm(x2, w):
-            # [R, K] @ [K, C] on the MXU, f32 accumulate (inputs may be bf16:
-            # one-hot routing is exact; messages round to mm_dtype)
+        def dotmm(x2, w, dims=(((1,), (0,)), ((), ()))):
+            # [R, K] (x) [K, C] on the MXU, f32 accumulate (inputs may be
+            # bf16: one-hot/Hadamard operands are exact; messages round)
             return jax.lax.dot_general(
-                x2.astype(mmdt), w.astype(mmdt), (((1,), (0,)), ((), ())),
+                x2.astype(mdt), w.astype(mdt), dims,
                 preferred_element_type=jnp.float32,
             )
 
-        def routes_and_posterior(Cc):
-            """Cc [q, dc, TB, M] -> posterior [q, TB, N] (normalized)."""
-            post = prior
-            for s in range(dv):
-                r = jnp.zeros((q, TB, n), jnp.float32)
-                for j in range(dc):
-                    r = r + dotmm(
-                        Cc[:, j].reshape(q * TB, m), Bm[s, j]
-                    ).reshape(q, TB, n)
-                post = post * (r + padr[s][None, None, :])
-            return post / jnp.sum(post, axis=0, keepdims=True)
+        def route_down(post):
+            """post [q, TB, N] log -> [q, dc, TB, M]: V slot values."""
+            p2 = post.reshape(q * TB, n)
+            return jnp.stack(
+                [dotmm(p2, E[j]).astype(mdt).reshape(q, TB, m)
+                 for j in range(dc)],
+                axis=1,
+            )
+
+        def route_up(lC):
+            """lC [q, dc, TB, M] log -> posterior [q, TB, N] (<= 0)."""
+            acc = None
+            for j in range(dc):
+                r = dotmm(
+                    lC[:, j].reshape(q * TB, m), E[j],
+                    dims=(((1,), (1,)), ((), ())),
+                )
+                acc = r if acc is None else acc + r
+            return prior + acc.astype(mdt).reshape(q, TB, n)
+
+        def wht_mxu(X, A):
+            """WHT along the leading q axis as ONE MXU contraction on the
+            free [q*dc, TB, M] leading-axis merge (rank-3 dot_general —
+            Mosaic rejects flattening the minor (TB, M) dims); basis reorder
+            + 1/q scale live in A."""
+            return dotmm(A, X.reshape(q * dc, TB, m)).reshape(q, dc, TB, m)
+
+        def wht_vpu(X):
+            """Unnormalized natural-order WHT along leading axis 0: p stages
+            of explicit half-block add/sub + concat (~2 VPU passes each; the
+            static per-row signs are in the slicing, not a select)."""
+            for i in range(p):
+                h = 1 << i
+                pieces = []
+                for b in range(0, q, 2 * h):
+                    lo = X[b : b + h]
+                    hi = X[b + h : b + 2 * h]
+                    pieces.append(lo + hi)
+                    pieces.append(lo - hi)
+                X = jnp.concatenate(pieces, axis=0)
+            return X
 
         def hard_of(post):
-            """argmax over leading q (first occurrence) -> f32 [TB, N]."""
+            """argmax over exp-order rows -> NATURAL symbol, f32 [TB, N].
+            Row iteration is by descending symbol so fp ties resolve to the
+            lowest natural symbol, matching jnp.argmax in the XLA path."""
             mx = post[0]
             for a in range(1, q):
                 mx = jnp.maximum(mx, post[a])
+            order = sorted(range(q), key=lambda k: -n2e[k])
             idx = jnp.zeros_like(mx)
-            for a in range(q - 1, -1, -1):
-                idx = jnp.where(post[a] >= mx, jnp.float32(a), idx)
+            for k in order:
+                idx = jnp.where(post[k] >= mx, jnp.float32(n2e[k]), idx)
             return idx
 
         def syndrome_ok(hardf):
-            """[TB, N] f32 symbol indices -> done [TB, 1] f32 (1 = satisfied)."""
+            """[TB, N] f32 symbol values -> done [TB, 1] f32 (1 = satisfied)."""
             acc = jnp.zeros((TB, m), jnp.int32)
             for j in range(dc):
-                he = dotmm(hardf, E[j].reshape(n, m)).astype(jnp.int32)
+                he = dotmm(hardf, E[j]).astype(jnp.int32)
                 gx = jnp.zeros_like(he)
                 for t in range(p):
                     gx = gx ^ (((he >> t) & 1) * synk[j, t][None, :])
@@ -220,79 +279,98 @@ class ResidentQSPA:
             bad = jnp.max(acc, axis=1, keepdims=True)      # 0 iff all-zero
             return jnp.where(bad == 0, 1.0, 0.0)
 
-        n2e = [int(v) for v in self.nat_to_exp]
-        e2n = [int(v) for v in self.exp_to_nat]
-        L = q - 1
-
-        def _rows(X, order):
-            return jnp.concatenate([X[k : k + 1] for k in order], axis=0)
-
-        def perm_apply(X, RB):
-            """Per-edge GF-weight permutation via conditional exp-order
-            rotations. X [q, dc, TB, M]; RB [T, dc, 1, M] rotation bits."""
-            Xe = _rows(X, n2e)
-            Z = Xe[1:]                                    # nonzero symbols
+        def rotate(X, RB):
+            """Per-edge exp-order rotation of the q-1 nonzero rows.
+            X [q, dc, TB, M]; RB [T, dc, 1, M] rotation bits of log h."""
+            if "rot" in self.ablate:
+                return X
+            Z = X[1:]
             for t in range(self.rot_bits):
                 s = (1 << t) % L
                 rolled = jnp.concatenate([Z[L - s :], Z[: L - s]], axis=0)
                 Z = jnp.where(RB[t] > 0.5, rolled, Z)
-            out = jnp.concatenate([Xe[:1], Z], axis=0)
-            return _rows(out, e2n)
+            return jnp.concatenate([X[:1], Z], axis=0)
+
+        e2n = [int(v) for v in self.exp_to_nat]
 
         def cn_update(Ux):
-            """[q, dc, TB, M] prob x-domain -> extrinsic x-domain."""
-            F = _wht_lead(Ux, q)                          # pads: all-ones
-            # leave-one-out product over dc via prefix/suffix (unrolled)
-            pref = [None] * dc
-            suf = [None] * dc
-            run = jnp.ones_like(F[:, 0])
-            for j in range(dc):
-                pref[j] = run
-                run = run * F[:, j]
-            run = jnp.ones_like(F[:, 0])
-            for j in range(dc - 1, -1, -1):
-                suf[j] = run
-                run = run * F[:, j]
-            G = jnp.stack([pref[j] * suf[j] for j in range(dc)], axis=1)
-            Qp = _wht_lead(G, q) / q
-            Qp = jnp.maximum(Qp, PROB_FLOOR)
-            return Qp / jnp.sum(Qp, axis=0, keepdims=True)
+            """[q, dc, TB, M] prob (exp-order) -> log extrinsic (exp-order).
+
+            Spectra of pmfs satisfy |F| <= 1, so prefix/suffix leave-one-out
+            products cannot overflow and Q = iWHT(G)/q <= 1: after the floor,
+            log Q in [log PROB_FLOOR, 0] — no renormalization needed."""
+            if "wht" in self.ablate:
+                F = Ux
+            elif self.wht_impl == "mxu":
+                F = wht_mxu(Ux, A1)                       # nat-order spectra
+            else:
+                F = wht_vpu(_rows(Ux, e2n))
+            if "lou" in self.ablate:
+                G = F
+            else:
+                pref = [None] * dc
+                suf = [None] * dc
+                run = jnp.ones_like(F[:, 0])
+                for j in range(dc):
+                    pref[j] = run
+                    run = run * F[:, j]
+                run = jnp.ones_like(F[:, 0])
+                for j in range(dc - 1, -1, -1):
+                    suf[j] = run
+                    run = run * F[:, j]
+                G = jnp.stack([pref[j] * suf[j] for j in range(dc)], axis=1)
+            if "wht" in self.ablate:
+                Q = G
+            elif self.wht_impl == "mxu":
+                Q = wht_mxu(G, A2)                        # exp-order, /q folded
+            else:
+                Q = _rows(wht_vpu(G), n2e) * (1.0 / q)
+            if "trans" in self.ablate:
+                return jnp.maximum(Q, PROB_FLOOR)
+            return jnp.log(jnp.maximum(Q, PROB_FLOOR))
+
+        def softmax_q(X):
+            """exp + normalize over leading q. X = post - lC <= -log
+            PROB_FLOOR ~ 27.6 (post <= 0, lC >= log floor), so the exp
+            cannot overflow f32 and no max-subtraction pass is needed."""
+            Ex = X if "trans" in self.ablate else jnp.exp(X)
+            return Ex / jnp.sum(Ex, axis=0, keepdims=True)
 
         # ---- init ----
-        Cc0 = jnp.full((q, dc, TB, m), 1.0 / q, jnp.float32)
+        lC0 = jnp.zeros((q, dc, TB, m), mdt)
         hard0 = hard_of(prior)
         done0 = syndrome_ok(hard0)
         iters0 = jnp.zeros((TB, 1), jnp.float32)
 
         def body(carry):
             # posterior is carried: one route pass per iteration, not two
-            Cc, post, hardf, done, iters = carry
-            # leave-one-out by division (prob domain): V_e = post[vn(e)]/C_e
-            Ve = jnp.stack(
-                [
-                    dotmm(post.reshape(q * TB, n), E[j]).reshape(q, TB, m)
-                    for j in range(dc)
-                ],
-                axis=1,
-            )
-            Ve = Ve / jnp.maximum(Cc, PROB_FLOOR)
-            # pad slots: numerator is 0 (E columns empty) -> replace by delta0
-            Ve = Ve * real_mask_t + pad_delta_t
-            Ve = Ve / jnp.sum(Ve, axis=0, keepdims=True)
-            Ux = perm_apply(Ve, RBd)
-            Chatx = cn_update(Ux)
-            Cc_new = perm_apply(Chatx, RBu)
-            post_new = routes_and_posterior(Cc_new)
+            lC, post, hardf, done, iters = carry
+            # leave-one-out by subtraction (log domain): V_e = post - lC_e
+            if "route" in self.ablate:
+                # keep the dataflow (so nothing is dead-code-eliminated)
+                # while replacing both matmuls with near-free reductions
+                Ve = lC + jnp.sum(post, axis=2, keepdims=True)[:, None] * 1e-9
+            else:
+                Ve = route_down(post) - lC
+            Ux = softmax_q(rotate(Ve, RBd))
+            if self.has_pads:
+                # pad CN slots: replace by delta0 (the WHT identity)
+                Ux = Ux * real_mask_t.astype(mdt) + pad_delta_t.astype(mdt)
+            lC_new = rotate(cn_update(Ux), RBu)
+            if "route" in self.ablate:
+                post_new = prior + jnp.sum(lC_new, axis=(1, 3))[..., None] * 1e-9
+            else:
+                post_new = route_up(lC_new)
             if not self.stats_each_iter:
-                return (Cc_new, post_new, hardf, done, iters + (1.0 - done))
+                return (lC_new, post_new, hardf, done, iters + (1.0 - done))
             hard_new = hard_of(post_new)
             done_new = syndrome_ok(hard_new)
             hardf2 = jnp.where(done > 0.5, hardf, hard_new)
             iters2 = iters + (1.0 - done)
             done2 = jnp.maximum(done, done_new)
-            return (Cc_new, post_new, hardf2, done2, iters2)
+            return (lC_new, post_new, hardf2, done2, iters2)
 
-        carry = (Cc0, routes_and_posterior(Cc0), hard0, done0, iters0)
+        carry = (lC0, prior, hard0, done0, iters0)
 
         if self.early_term:
             def cond_body(i, carry):
@@ -325,8 +403,8 @@ class ResidentQSPA:
         grid = (B // tb,)
         consts = [
             jnp.asarray(self.E_j),
-            jnp.asarray(self.B_sj),
-            jnp.asarray(self.pad_route),
+            jnp.asarray(self.A1),
+            jnp.asarray(self.A2),
             jnp.asarray(self.rbits_down),
             jnp.asarray(self.rbits_up),
             jnp.asarray(self.pad_delta),
@@ -363,7 +441,7 @@ class ResidentQSPA:
 
 def get_resident_decoder(graph: TannerGraph, max_iters: int, early_term: bool,
                          stats_each_iter: bool = True,
-                         mm_dtype=jnp.float32):
+                         mm_dtype=jnp.float32, wht_impl: str = "vpu"):
     """Build (and cache on the graph) a ResidentQSPA for this config.
 
     stats_each_iter=True (default) keeps fixed-budget semantics identical to
@@ -372,7 +450,7 @@ def get_resident_decoder(graph: TannerGraph, max_iters: int, early_term: bool,
     then reports max_iters (BASELINE.json fixed-50-iter throughput mode).
     """
     key = ("resident", max_iters, early_term, stats_each_iter,
-           jnp.dtype(mm_dtype).name)
+           jnp.dtype(mm_dtype).name, wht_impl)
     cache = getattr(graph, "_resident_cache", None)
     if cache is None:
         cache = {}
@@ -380,5 +458,5 @@ def get_resident_decoder(graph: TannerGraph, max_iters: int, early_term: bool,
     if key not in cache:
         cache[key] = ResidentQSPA(graph, max_iters, early_term,
                                   stats_each_iter=stats_each_iter,
-                                  mm_dtype=mm_dtype)
+                                  mm_dtype=mm_dtype, wht_impl=wht_impl)
     return cache[key]

@@ -45,9 +45,9 @@ def get_cn_update(dec: DecoderConfig):
 def get_decode_fn(dec: DecoderConfig):
     """(graph, llr [B,N,q]) -> DecodeResult for the configured decoder.
 
-    QSPA runs the batch-last TPU-fast layout (decoders/common.py
-    decode_bl); EMS/T-EMS use the q-last path whose top_k/sort semantics
-    match the numpy oracle exactly.
+    All three decoders run the batch-last TPU-fast layout (decoders/
+    common.py decode_bl); the layouts are golden-tested to agree with the
+    q-last paths and the numpy oracle frame-for-frame.
     """
     if dec.kind == "qspa":
         return lambda graph, llr: qspa.decode(
@@ -55,10 +55,17 @@ def get_decode_fn(dec: DecoderConfig):
             mm_precision=dec.mm_precision,
             stats_each_iter=dec.stats_each_iter,
         )
-    cn_update = get_cn_update(dec)
-    return lambda graph, llr: common.decode(
-        graph, llr, cn_update, dec.max_iters, dec.early_term
-    )
+    if dec.kind == "ems":
+        return lambda graph, llr: ems.decode(
+            graph, llr, dec.max_iters, nm=dec.nm, offset=dec.offset,
+            early_term=dec.early_term, batch_last=True,
+        )
+    if dec.kind == "tems":
+        return lambda graph, llr: tems.decode(
+            graph, llr, dec.max_iters, offset=dec.offset,
+            early_term=dec.early_term, batch_last=True,
+        )
+    raise ValueError(f"unknown decoder kind {dec.kind!r}")
 
 
 @dataclasses.dataclass

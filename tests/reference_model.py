@@ -97,6 +97,8 @@ class OracleDecoder:
                 C = self._cn_qspa(V)
             elif self.kind == "ems":
                 C = self._cn_ems(V)
+            elif self.kind == "ems_legacy":
+                C = self._cn_ems_legacy(V)
             elif self.kind == "tems":
                 C = self._cn_tems(V)
             else:
@@ -148,11 +150,35 @@ class OracleDecoder:
 
     # --- EMS: nm-truncated max-sum xor-convolution -----------------------
     @staticmethod
-    def _ems_merge(acc, u, nm):
-        """Elementary EMS merge: scan the stable top-nm entries of `u`
-        (ties broken toward lower GF index, = lax.top_k order), gather `acc`
-        densely: out[a] = max_t u[t] + acc[a ^ idx_t]. Mirrors
-        nbldpc_tpu.decoders.ems._merge exactly."""
+    def _topnm_mask(u, nm):
+        """Truncate to the stable top-nm (ties -> lower GF index): entries
+        outside the top-nm set become NEG. This is the classic nm-list
+        representation as a masked dense vector."""
+        order = np.argsort(-u, kind="stable")[:nm]
+        out = np.full(len(u), -1e30)
+        out[order] = u[order]
+        return out
+
+    @staticmethod
+    def _ems_merge_classic(accM, uM):
+        """Classic elementary EMS merge of two nm-truncated (NEG-masked)
+        operands: out[a] = max over t1 ^ t2 = a of accM[t1] + uM[t2].
+        (Loop over t with a vectorized inner max so GF(256) oracle runs stay
+        tractable; semantics identical to the scalar double loop.)"""
+        q = len(accM)
+        a = np.arange(q)
+        out = np.full(q, -1e30)
+        for t in range(q):
+            np.maximum(out, uM[t] + accM[a ^ t], out)
+        return out
+
+    @staticmethod
+    def _ems_merge_dense_fwd(acc, u, nm):
+        """LEGACY round-1 variant (kept only to quantify its deviation from
+        the classic scheme — see test_ems_variants): scanned operand
+        truncated to stable top-nm, accumulator gathered DENSELY
+        (untruncated partials on one side — a superset of the classic
+        configuration sets)."""
         q = len(acc)
         order = np.argsort(-u, kind="stable")[:nm]
         out = np.full(q, -1e30)
@@ -164,10 +190,58 @@ class OracleDecoder:
         return out
 
     def _cn_ems(self, V):
-        """Extended Min-Sum via forward/backward elementary merges over
-        top-nm configuration sets, offset correction. Semantics identical to
-        nbldpc_tpu.decoders.ems (forward/backward partials gathered densely,
-        scanned operand truncated to stable top-nm at every merge)."""
+        """CLASSIC truncated-list Extended Min-Sum (Voicila/Declercq):
+        incoming messages AND forward/backward partials truncated to their
+        stable top-nm after every elementary merge; final outputs keep all
+        computed configuration values. Matches nbldpc_tpu.decoders.ems
+        (which implements the same scheme with masked dense vectors)."""
+        spec, gf = self.spec, self.gf
+        q = spec.q
+        nm = min(self.nm or q, q)
+        NEG = -1e30
+        C = []
+        for m in range(spec.m):
+            vals = spec.row_vals[m]
+            dc = len(vals)
+            U = []
+            for j in range(dc):
+                msg = V[m][j] - V[m][j].max()
+                hinv = gf.inv[vals[j]]
+                perm = gf.mul[hinv, np.arange(q)]
+                U.append(self._topnm_mask(msg[perm], nm))
+            # F[j] = truncated merge of U[0..j-1]; F[1] = U[0] itself
+            # (merge with the delta0 identity). B[j] likewise from the right.
+            F = [None] * dc
+            F[1] = U[0]
+            for j in range(2, dc):
+                F[j] = self._topnm_mask(
+                    self._ems_merge_classic(F[j - 1], U[j - 1]), nm
+                )
+            B = [None] * dc
+            B[dc - 2] = U[dc - 1]
+            for j in range(dc - 3, -1, -1):
+                B[j] = self._topnm_mask(
+                    self._ems_merge_classic(B[j + 1], U[j + 1]), nm
+                )
+            row = []
+            for j in range(dc):
+                if j == 0:
+                    acc = B[0]
+                elif j == dc - 1:
+                    acc = F[dc - 1]
+                else:
+                    acc = self._ems_merge_classic(F[j], B[j])
+                acc = np.minimum(acc - acc.max() + self.offset, 0.0)
+                acc = np.maximum(acc, NEG)
+                perm = gf.mul[vals[j], np.arange(q)]
+                row.append(acc[perm])
+            C.append(row)
+        return C
+
+    def _cn_ems_legacy(self, V):
+        """LEGACY round-1 EMS variant (dense-forward partials): kept ONLY to
+        quantify its deviation from the classic truncated scheme
+        (benchmarks/ems_variants.py). Do not use as a parity oracle."""
         spec, gf = self.spec, self.gf
         q = spec.q
         nm = min(self.nm or q, q)
@@ -184,17 +258,16 @@ class OracleDecoder:
                 U.append(msg[perm])
             d0 = np.full(q, NEG)
             d0[0] = 0.0
-            # forward prefix-exclusive, backward suffix-exclusive partials
             F = [d0]
             for j in range(dc - 1):
-                F.append(self._ems_merge(F[-1], U[j], nm))
+                F.append(self._ems_merge_dense_fwd(F[-1], U[j], nm))
             B = [d0]
             for j in range(dc - 1, 0, -1):
-                B.append(self._ems_merge(B[-1], U[j], nm))
-            B = B[::-1]  # B[j] = merge of U[j+1..dc-1]
+                B.append(self._ems_merge_dense_fwd(B[-1], U[j], nm))
+            B = B[::-1]
             row = []
             for j in range(dc):
-                acc = self._ems_merge(F[j], B[j], nm)
+                acc = self._ems_merge_dense_fwd(F[j], B[j], nm)
                 acc = np.minimum(acc - acc.max() + self.offset, 0.0)
                 acc = np.maximum(acc, NEG)
                 perm = gf.mul[vals[j], np.arange(q)]

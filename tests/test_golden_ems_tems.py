@@ -8,6 +8,7 @@ from nbldpc_tpu import decoders
 from nbldpc_tpu.decoders import common, ems, tems
 
 from tests.reference_model import OracleDecoder
+from nbldpc_tpu.graph import TannerGraph
 from tests.test_golden import _noisy_llrs
 
 
@@ -137,3 +138,98 @@ def test_tems_noiseless(small_codes):
     res = tems.decode(g, llr, max_iters=4)
     assert np.all(np.array(res.done))
     np.testing.assert_array_equal(np.array(res.hard), np.array(cw))
+
+
+# ---------------------------------------------------------------------------
+# Round 2: high-q truncated EMS (nm < q), batch-last layouts, K2 kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def highq_codes():
+    from nbldpc_tpu.codegen import make_peg_code
+
+    return {
+        64: make_peg_code(12, 6, 64, dv=2, seed=5),
+        256: make_peg_code(12, 6, 256, dv=2, seed=5),
+    }
+
+
+@pytest.mark.parametrize("q,nm", [(64, 8), (256, 16)])
+def test_ems_highq_messages_one_iter(highq_codes, q, nm):
+    """Truncated EMS (nm < q) on GF(64)/GF(256): messages match the classic
+    numpy oracle after one iteration (the round-1 gap: q > nm was unusable)."""
+    spec = highq_codes[q]
+    g, cw, llr = _noisy_llrs(spec, 2, 3.0, seed=21)
+    oracle = OracleDecoder(spec, kind="ems", nm=nm)
+    C1 = _one_iter_messages(
+        g, llr, lambda V, gg: ems.ems_cn_update(V, gg, nm=nm, offset=0.0)
+    )
+    for b in range(llr.shape[0]):
+        _, _, _, C_o = oracle.decode(
+            llr[b], max_iters=1, early_term=False, return_messages=True
+        )
+        for m in range(spec.m):
+            for j in range(len(spec.row_cols[m])):
+                np.testing.assert_allclose(
+                    C1[b, m, j], C_o[m][j], rtol=2e-3, atol=2e-3,
+                    err_msg=f"q={q} nm={nm} frame {b} check {m} slot {j}",
+                )
+
+
+@pytest.mark.parametrize("q,nm", [(64, 8), (256, 16)])
+def test_ems_highq_hard_decisions(highq_codes, q, nm):
+    spec = highq_codes[q]
+    g, cw, llr = _noisy_llrs(spec, 4, 4.0, seed=22)
+    oracle = OracleDecoder(spec, kind="ems", nm=nm)
+    res = ems.decode(g, jnp.asarray(llr), max_iters=4, nm=nm,
+                     batch_last=False)
+    hard_j = np.array(res.hard)
+    for b in range(llr.shape[0]):
+        hard_o, done_o, iters_o = oracle.decode(llr[b], max_iters=4)
+        np.testing.assert_array_equal(hard_j[b], hard_o, err_msg=f"frame {b}")
+        assert bool(np.array(res.done)[b]) == done_o
+
+
+@pytest.mark.parametrize("q,nm", [(16, 8), (64, 8), (256, 16)])
+def test_ems_batch_last_matches_q_last(highq_codes, small_codes, q, nm):
+    """decode_bl (TPU lane layout) == q-last decode, frame-for-frame."""
+    spec = small_codes["gf16_tiny"] if q == 16 else highq_codes[q]
+    g, cw, llr = _noisy_llrs(spec, 4, 2.5, seed=23)
+    r1 = ems.decode(g, jnp.asarray(llr), max_iters=4, nm=nm, batch_last=False)
+    r2 = ems.decode(g, jnp.asarray(llr), max_iters=4, nm=nm, batch_last=True,
+                    use_pallas="no")
+    np.testing.assert_array_equal(np.array(r1.hard), np.array(r2.hard))
+    np.testing.assert_array_equal(np.array(r1.done), np.array(r2.done))
+    np.testing.assert_array_equal(np.array(r1.iters), np.array(r2.iters))
+
+
+def test_tems_batch_last_matches_q_last(small_codes):
+    spec = small_codes["gf16_tiny"]
+    g, cw, llr = _noisy_llrs(spec, 6, 2.5, seed=24)
+    r1 = tems.decode(g, jnp.asarray(llr), max_iters=4, batch_last=False)
+    r2 = tems.decode(g, jnp.asarray(llr), max_iters=4, batch_last=True)
+    np.testing.assert_array_equal(np.array(r1.hard), np.array(r2.hard))
+    np.testing.assert_array_equal(np.array(r1.done), np.array(r2.done))
+    np.testing.assert_array_equal(np.array(r1.iters), np.array(r2.iters))
+
+
+@pytest.mark.parametrize("q,nm", [(16, 8), (64, 8), (256, 16)])
+def test_k2_kernel_interpret_matches_xla(highq_codes, small_codes, q, nm):
+    """K2 fused EMS CN kernel (interpret mode) == XLA batch-last update."""
+    import jax
+
+    from nbldpc_tpu.kernels.cn_ems import ems_cn_update_bl_pallas
+
+    spec = small_codes["gf16_tiny"] if q == 16 else highq_codes[q]
+    g = TannerGraph(spec)
+    key = jax.random.PRNGKey(31)
+    Vv = jax.random.normal(
+        key, (g.n, g.dv_max, g.q, 8), jnp.float32
+    ) * 3.0
+    U = jax.jit(g.gather_cn_x_bl)(Vv)
+    ref = jax.jit(lambda u: ems.ems_cn_update_bl(u, g, nm=nm, offset=0.1))(U)
+    out = ems_cn_update_bl_pallas(U, g, nm=nm, offset=0.1, interpret=True)
+    np.testing.assert_allclose(
+        np.array(out), np.array(ref), rtol=1e-5, atol=1e-5
+    )
