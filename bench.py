@@ -25,7 +25,7 @@ import sys
 import time
 
 
-def worker(batch: int, reps: int) -> None:
+def worker(batch: int, reps: int, precision: str = "bf16") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +42,7 @@ def worker(batch: int, reps: int) -> None:
     # the decoder default keeps XLA-matching semantics), bf16 routing (BER
     # equivalence recorded in benchmarks/results/).
     dec = DecoderConfig(kind="qspa", max_iters=iters, early_term=False,
-                        stats_each_iter=False, mm_precision="bf16")
+                        stats_each_iter=False, mm_precision=precision)
     step = jax.jit(make_sim_step(graph, dec, batch_per_snr=batch, n_snr=1))
 
     sigmas = jnp.asarray([0.63])  # ~2 dB at rate 1/2 — mid-waterfall load
@@ -68,6 +68,7 @@ def worker(batch: int, reps: int) -> None:
         "platform": platform,
         "batch": batch,
         "iters": iters,
+        "precision": precision,
     }
     print(json.dumps(result), flush=True)
 
@@ -93,26 +94,33 @@ def main() -> None:
         worker(64, 1)
         return
 
-    attempts = [(8192, 8, 420), (8192, 8, 420), (2048, 8, 300)]
-    for batch, reps, tmo in attempts:
+    # bf16 first (fastest mode), then f32 fallbacks — a compile error or
+    # timeout in one mode must never zero the round's headline (round-2
+    # lesson: three bf16-only attempts all hit the same Mosaic error).
+    # Cold remote compiles have been observed at up to ~18 min; the compile
+    # service caches by program hash, so reruns at the same HEAD are fast.
+    attempts = [(8192, 8, 1500, "bf16"), (8192, 8, 900, "f32"),
+                (2048, 8, 600, "f32")]
+    for batch, reps, tmo, precision in attempts:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
-                 str(batch), str(reps)],
+                 str(batch), str(reps), precision],
                 capture_output=True, text=True, timeout=tmo,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
         except subprocess.TimeoutExpired:
-            print(f"# attempt batch={batch} timed out after {tmo}s; retrying",
-                  file=sys.stderr, flush=True)
+            print(f"# attempt batch={batch} {precision} timed out after "
+                  f"{tmo}s; retrying", file=sys.stderr, flush=True)
             continue
         for line in proc.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
                 print(line, flush=True)
                 return
-        print(f"# attempt batch={batch} failed rc={proc.returncode}:\n"
-              f"{proc.stderr[-2000:]}", file=sys.stderr, flush=True)
+        print(f"# attempt batch={batch} {precision} failed "
+              f"rc={proc.returncode}:\n{proc.stderr[-2000:]}",
+              file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "decoded_coded_symbols_per_s_per_chip_qspa_gf16_50it",
         "value": 0.0, "unit": "symbols/s/chip", "vs_baseline": 0.0,
@@ -122,6 +130,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), int(sys.argv[3]))
+        worker(int(sys.argv[2]), int(sys.argv[3]),
+               sys.argv[4] if len(sys.argv) > 4 else "bf16")
     else:
         main()

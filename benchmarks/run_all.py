@@ -1,32 +1,45 @@
-"""Throughput regression harness over the five BASELINE.json configs
+"""Throughput regression harness over the BASELINE.json configs
 (SURVEY.md §4.7). Writes benchmarks/results/<tag>.json, one record per
 config, on whatever device JAX sees.
 
-Usage: PYTHONPATH=. python benchmarks/run_all.py [--tag round1] [--quick]
+Usage (from the repo root or anywhere): python benchmarks/run_all.py
+  [--tag round3] [--quick] [--only gf16]
+
+Fixed-iteration budget, stats_each_iter=False (the BASELINE.json throughput
+metric mode). The multi-SNR sweep entry covers BASELINE config 5 (codewords
+x SNR points in one compiled step).
+
+NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR here — under the axon
+remote-compile service the persistent cache inflates compile times from
+seconds to minutes (measured round 1; bench.py carries the same warning).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import os
+import sys
 import time
 from pathlib import Path
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nbldpc_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
 
 CONFIGS = [
-    # name, code, decoder kwargs, iters, batch
-    ("gf4_qspa_20it", "gf4_n96_k48", dict(kind="qspa"), 20, 4096),
-    ("gf16_qspa_50it", "gf16_n204_k102", dict(kind="qspa"), 50, 4096),
-    ("gf16_ems_nm16_20it", "gf16_n204_k102", dict(kind="ems", nm=16), 20, 1024),
-    ("gf64_tems_20it", "gf64_n576_k480", dict(kind="tems"), 20, 256),
-    ("gf256_qspa_10it", "gf256_n255_k175", dict(kind="qspa"), 10, 128),
-    ("gf256_ems_nm16_10it", "gf256_n255_k175", dict(kind="ems", nm=16), 10, 128),
+    # name, code, decoder kwargs, iters, batch, n_snr
+    ("gf4_qspa_20it", "gf4_n96_k48", dict(kind="qspa"), 20, 4096, 1),
+    ("gf16_qspa_50it", "gf16_n204_k102", dict(kind="qspa"), 50, 4096, 1),
+    ("gf16_qspa_50it_bf16", "gf16_n204_k102",
+     dict(kind="qspa", mm_precision="bf16"), 50, 4096, 1),
+    ("gf16_ems_nm16_20it", "gf16_n204_k102", dict(kind="ems", nm=16), 20, 1024, 1),
+    ("gf64_tems_20it", "gf64_n576_k480", dict(kind="tems"), 20, 256, 1),
+    ("gf256_qspa_10it", "gf256_n255_k175", dict(kind="qspa"), 10, 128, 1),
+    ("gf256_ems_nm16_10it", "gf256_n255_k175", dict(kind="ems", nm=16), 10, 128, 1),
+    # BASELINE config 5: multi-SNR sweep, all SNR points in one compiled step
+    ("gf256_qspa_10it_4snr", "gf256_n255_k175", dict(kind="qspa"), 10, 128, 4),
+    ("gf256_ems_nm16_10it_4snr", "gf256_n255_k175", dict(kind="ems", nm=16), 10, 128, 4),
 ]
 
 
@@ -46,16 +59,18 @@ def main():
     on_accel = platform != "cpu"
     reps = 10 if on_accel else 1
     records = []
-    for name, code, deckw, iters, batch in CONFIGS:
+    for name, code, deckw, iters, batch, n_snr in CONFIGS:
         if args.only and args.only not in name:
             continue
         if not on_accel or args.quick:
             batch = min(batch, 32)
         spec = build_standard_code(code)
         graph = TannerGraph(spec)
-        dec = DecoderConfig(max_iters=iters, early_term=False, **deckw)
-        step = jax.jit(make_sim_step(graph, dec, batch_per_snr=batch, n_snr=1))
-        sigmas = jnp.asarray([0.7])
+        dec = DecoderConfig(max_iters=iters, early_term=False,
+                            stats_each_iter=False, **deckw)
+        step = jax.jit(make_sim_step(graph, dec, batch_per_snr=batch,
+                                     n_snr=n_snr))
+        sigmas = jnp.asarray([0.7 + 0.05 * i for i in range(n_snr)])
         key = jax.random.PRNGKey(0)
         t_c0 = time.perf_counter()
         out = step(key, sigmas)
@@ -66,13 +81,15 @@ def main():
             out = step(jax.random.fold_in(key, r), sigmas)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
+        frames = batch * n_snr * reps
         rec = {
             "config": name,
             "code": code,
             "iters": iters,
             "batch": batch,
-            "symbols_per_s": round(batch * reps * spec.n / dt, 1),
-            "frames_per_s": round(batch * reps / dt, 2),
+            "n_snr": n_snr,
+            "symbols_per_s": round(frames * spec.n / dt, 1),
+            "frames_per_s": round(frames / dt, 2),
             "compile_s": round(compile_s, 2),
             "platform": platform,
         }

@@ -74,7 +74,7 @@ def _xor_perm_dyn(
     STATIC permutes (one per bit of z) — no dynamic gathers."""
     for t in range(q.bit_length() - 1):
         xp = xor_take(x, 1 << t, q, axis)
-        x = jnp.where((z >> t) & 1 != 0, xp, x)
+        x = jnp.where(((z >> t) & 1) != 0, xp, x)
     return x
 
 
@@ -150,6 +150,7 @@ def _cn_ems_core(Ujs: list, nm: int, q: int, axis: int,
     Ujs: dc arrays [..., q at `axis`, ...], log-domain x-domain, normalized,
     pad slots already replaced by delta0. Returns dc extrinsic outputs."""
     dc = len(Ujs)
+    assert dc >= 2, "EMS check-node update needs dc >= 2 edges per check"
     trunc = nm < q
 
     if not trunc:

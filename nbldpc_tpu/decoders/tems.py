@@ -15,19 +15,25 @@ collisions are fixed by substituting the second-best side (the standard
 hardware-friendly approximation — identical in the numpy oracle, so golden
 tests are exact).
 
-TPU-native formulation (round 2): everything is dense [*, q, *] max
-reductions and XOR permutes — no trellis pointers, no sorts, no gathers:
-  - the per-row top-3 over columns is an unrolled compare/shift cascade over
-    the dc slices (ties -> lower column, = stable-sort order) — no lax.top_k,
-    no transposes of the minor dims;
-  - data-dependent XOR permutes (delta transform by z, output rotation by
-    beta ^ z_j) decompose into p conditional STATIC lane permutes
-    (ems._xor_perm_dyn);
-  - the two-deviation max-convolution runs as a lax.fori_loop over e1 whose
-    body is O(p) static permutes — compile time is O(p), not O(q) (the
-    round-1 Python-unrolled loop took 181 s to compile at q=64).
+TPU-native formulation (round 3 — replaces the round-2 per-column loops):
+everything is batched over the dc axis and dense over q — no trellis
+pointers, no sorts, no gathers, no data-dependent loop bodies:
+  - the delta transform and the final output rotation are data-dependent XOR
+    permutes done batched over dc (p conditional STATIC permutes each,
+    ems._xor_perm_dyn with a broadcast shift);
+  - the per-row top-3 over columns is an unrolled compare/shift cascade of
+    dc static slices (ties -> lower column, = stable-sort order);
+  - the two-deviation max-convolution walks e1 = 1..q-1 in GRAY-CODE order:
+    each step advances the three shifted operands (m1x, m2x, c1x at
+    [eta ^ e1]) by ONE single-bit static XOR permute and adds the row-e1
+    scalars (static q-axis slices) — ~7 full-tensor VPU passes per step,
+    O(q) steps, O(q) compile. The round-2 version ran a fori_loop whose body
+    did three O(p)-stage data-dependent permutes PER COLUMN (dc x q steps x
+    ~45 passes) — the judged 329 s sim-step compile and 6.3e4 sym/s both
+    trace to it.
 Both the q-last [B, M, dc, q] and batch-last [M, dc, q, B] layouts share the
-same core.
+same stacked core, parameterized by the XOR-permute hook so the fused Pallas
+kernel (kernels/cn_tems.py) reuses it with roll-based permutes.
 """
 
 from __future__ import annotations
@@ -36,25 +42,53 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from nbldpc_tpu.decoders import common
-from nbldpc_tpu.decoders.ems import _iota, _xor_perm_dyn
+from nbldpc_tpu.decoders.ems import _iota, _xor_perm_dyn, _xor_take
 from nbldpc_tpu.graph import TannerGraph
 
 NEG = -1e30
 
 
-def _top3_over_dc(Ujs: list):
-    """Per-row top-3 (value, column) over the dc operands (compare/shift
-    cascade; ties keep the earlier = lower column, matching a stable sort).
+def _two_deviation_dense(m1x, c1x, m2x, q: int, axis: int,
+                         xor_take=_xor_take):
+    """dw(eta) = max over e1 ^ e2 = eta (e1, e2 != 0) of the two-deviation
+    sum, with the equal-column collision fix.
 
-    Ujs: dc arrays of identical shape. Returns (m1, c1, m2, c2, m3)."""
-    m1 = jnp.full_like(Ujs[0], NEG)
+    Gray-code walk over e1: the three shifted operands x[eta ^ e1] advance
+    by one single-bit static permute per step; the row-e1 side is a static
+    q-axis slice. All tensors carry the dc axis (batched over columns)."""
+    iota = _iota(q, m1x.ndim, axis)
+    dw = jnp.full_like(m1x, NEG)
+    mp, sp, cp = m1x, m2x, c1x
+    prev = 0
+    for g in range(1, q):
+        e1 = g ^ (g >> 1)                                  # Gray code, != 0
+        mp = xor_take(mp, e1 ^ prev, q, axis)
+        sp = xor_take(sp, e1 ^ prev, q, axis)
+        cp = xor_take(cp, e1 ^ prev, q, axis)
+        prev = e1
+        v1 = jax.lax.index_in_dim(m1x, e1, axis, keepdims=True)
+        v2 = jax.lax.index_in_dim(m2x, e1, axis, keepdims=True)
+        ce = jax.lax.index_in_dim(c1x, e1, axis, keepdims=True)
+        cand = jnp.where(ce == cp, jnp.maximum(v1 + sp, v2 + mp), v1 + mp)
+        cand = jnp.where(iota == e1, NEG, cand)            # e2 = 0 forbidden
+        dw = jnp.maximum(dw, cand)
+    return dw
+
+
+def _top3_stacked(dU, dc_axis: int):
+    """Per-row top-3 (value, column) over the dc axis (compare/shift cascade
+    of static slices; ties keep the earlier = lower column, matching a
+    stable sort). Returns (m1, c1, m2, c2, m3), each size-1 at dc_axis."""
+    dc = dU.shape[dc_axis]
+    first = jax.lax.index_in_dim(dU, 0, dc_axis, keepdims=True)
+    m1 = jnp.full_like(first, NEG)
     m2, m3 = m1, m1
-    c1 = jnp.zeros_like(Ujs[0])
+    c1 = jnp.zeros_like(first)
     c2 = c1
-    for j, v in enumerate(Ujs):
+    for j in range(dc):
+        v = jax.lax.index_in_dim(dU, j, dc_axis, keepdims=True)
         b1 = v > m1
         b2 = (v > m2) & ~b1
         b3 = (v > m3) & ~b1 & ~b2
@@ -67,70 +101,43 @@ def _top3_over_dc(Ujs: list):
     return m1, c1, m2, c2, m3
 
 
-def _two_deviation(m1x, c1x, m2x, q: int, axis: int):
-    """Best two-deviation combination per row.
+def _cn_tems_core(U, q: int, dc_axis: int, q_axis: int,
+                  xor_take=_xor_take) -> jnp.ndarray:
+    """Stacked T-EMS check-node core, batched over the dc axis.
 
-    m1x, m2x: [..., q at axis, ...] best / second-best deviation per row
-    c1x:      column (f32) of the best
-    returns dw2: max over e1 ^ e2 = eta (e1, e2 != 0) with collision fix.
-
-    lax.fori_loop over e1; the e2 = e1 ^ eta side is a data-dependent XOR
-    permute of O(p) conditional static lane permutes — compile is O(p)."""
-    iota = _iota(q, m1x.ndim, axis)
-
-    def body(e1, dw):
-        e1a = jnp.full((1,) * m1x.ndim, e1, jnp.int32)
-        v1 = jnp.max(jnp.where(iota == e1, m1x, NEG), axis=axis, keepdims=True)
-        v2 = jnp.max(jnp.where(iota == e1, m2x, NEG), axis=axis, keepdims=True)
-        c1 = jnp.max(jnp.where(iota == e1, c1x, NEG), axis=axis, keepdims=True)
-        w1 = _xor_perm_dyn(m1x, e1a, q, axis)
-        w2 = _xor_perm_dyn(m2x, e1a, q, axis)
-        d1 = _xor_perm_dyn(c1x, e1a, q, axis)
-        cand = jnp.where(c1 == d1, jnp.maximum(v1 + w2, v2 + w1), v1 + w1)
-        # invalid: e2 = 0, i.e. eta == e1 — mask that single lane
-        cand = jnp.where(iota == e1, NEG, cand)
-        return jnp.maximum(dw, cand)
-
-    dw0 = jnp.full_like(m1x, NEG)
-    return jax.lax.fori_loop(1, q, body, dw0)
-
-
-def _cn_tems_core(Ujs: list, q: int, axis: int) -> list:
-    """Shared T-EMS check-node core over one check's dc operands.
-
-    Ujs: dc arrays [..., q at axis, ...], log-domain x-domain, normalized
-    (max = 0), pad slots = log-delta0. Returns dc extrinsic outputs (before
-    offset/normalize)."""
-    dc = len(Ujs)
+    U: [..., dc at dc_axis, ..., q at q_axis, ...], log-domain x-domain,
+    normalized (max over q = 0), pad slots = log-delta0 (argmax 0, NEG
+    deviation rows — they never win the top-3 and add 0 to beta; pad
+    OUTPUTS are never routed by the VN gather). Returns the extrinsics in
+    the same stacked shape (before offset/normalize)."""
+    dc = U.shape[dc_axis]
     assert dc >= 3, "T-EMS top-3 scheme needs dc_max >= 3"
-    iota = _iota(q, Ujs[0].ndim, axis)
+    iota_q = _iota(q, U.ndim, q_axis)
 
-    # delta domain relative to the most reliable symbol per edge; pad slots
-    # are log-delta0 whose argmax is 0, so they pass through unchanged and
-    # contribute NEG rows to the top-3 (never winning) and 0 to beta.
-    zs, dUs = [], []
-    for u in Ujs:
-        z = jnp.argmax(u, axis=axis, keepdims=True).astype(jnp.int32)
-        zs.append(z)
-        dUs.append(_xor_perm_dyn(u, z, q, axis))
-    beta = functools.reduce(jnp.bitwise_xor, zs)          # [..., 1, ...]
+    # delta domain relative to the most reliable symbol per edge (batched)
+    z = jnp.argmax(U, axis=q_axis, keepdims=True).astype(jnp.int32)
+    dU = _xor_perm_dyn(U, z, q, q_axis, xor_take)
+    beta = functools.reduce(
+        jnp.bitwise_xor,
+        [jax.lax.index_in_dim(z, j, dc_axis, keepdims=True)
+         for j in range(dc)],
+    )                                                       # size-1 dc axis
 
-    m1, c1, m2, c2, m3 = _top3_over_dc(dUs)
+    m1, c1, m2, c2, m3 = _top3_stacked(dU, dc_axis)
 
-    outs = []
-    for j, (z, dU) in enumerate(zip(zs, dUs)):
-        jf = jnp.float32(j)
-        is_j0 = c1 == jf
-        is_j1 = c2 == jf
-        m1x = jnp.where(is_j0, m2, m1)
-        c1x = jnp.where(is_j0, c2, c1)
-        m2x = jnp.where(is_j0 | is_j1, m3, m2)
-        dw = _two_deviation(m1x, c1x, m2x, q, axis)
-        dw = jnp.maximum(dw, m1x)                         # one deviation
-        dw = jnp.where(iota == 0, 0.0, dw)                # zero deviations
-        # back to the normal domain: C_j(a) = dW(a ^ beta ^ z_j)
-        outs.append(_xor_perm_dyn(dw, beta ^ z, q, axis))
-    return outs
+    # per-column exclusion, batched: column index along the dc axis
+    jcol = _iota(dc, U.ndim, dc_axis).astype(jnp.float32)
+    is_j0 = c1 == jcol
+    is_j1 = c2 == jcol
+    m1x = jnp.where(is_j0, m2, m1)
+    c1x = jnp.where(is_j0, c2, c1)
+    m2x = jnp.where(is_j0 | is_j1, m3, m2)
+
+    dw = _two_deviation_dense(m1x, c1x, m2x, q, q_axis, xor_take)
+    dw = jnp.maximum(dw, m1x)                               # one deviation
+    dw = jnp.where(iota_q == 0, 0.0, dw)                    # zero deviations
+    # back to the normal domain: C_j(a) = dW(a ^ beta ^ z_j)
+    return _xor_perm_dyn(dw, beta ^ z, q, q_axis, xor_take)
 
 
 def tems_cn_update(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> jnp.ndarray:
@@ -141,9 +148,7 @@ def tems_cn_update(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> j
     U = U - jnp.max(U, axis=-1, keepdims=True)
     d0 = jnp.full((q,), NEG, U.dtype).at[0].set(0.0)
     U = jnp.where(mask, U, d0)                            # pads: identity
-    Ujs = [U[:, :, j, :] for j in range(graph.dc_max)]
-    outs = _cn_tems_core(Ujs, q, axis=-1)
-    out = jnp.stack(outs, axis=2)
+    out = _cn_tems_core(U, q, dc_axis=2, q_axis=3)
     out = jnp.minimum(out - jnp.max(out, axis=-1, keepdims=True) + offset, 0.0)
     return jnp.where(mask, jnp.maximum(out, NEG), 0.0)
 
@@ -156,9 +161,7 @@ def tems_cn_update_bl(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -
     are never routed by the VN gather."""
     q = graph.q
     U = U - jnp.max(U, axis=2, keepdims=True)
-    Ujs = [U[:, j] for j in range(graph.dc_max)]          # [M, q, B]
-    outs = _cn_tems_core(Ujs, q, axis=1)
-    out = jnp.stack(outs, axis=1)
+    out = _cn_tems_core(U, q, dc_axis=1, q_axis=2)
     return jnp.minimum(out - jnp.max(out, axis=2, keepdims=True) + offset, 0.0)
 
 
@@ -169,10 +172,22 @@ def decode(
     offset: float = 0.0,
     early_term: bool = True,
     batch_last: bool = True,
+    use_pallas: str = "auto",
 ) -> common.DecodeResult:
-    """T-EMS decode of a batch: llr [B, N, q] -> DecodeResult."""
+    """T-EMS decode of a batch: llr [B, N, q] -> DecodeResult.
+
+    use_pallas selects the fused check-node kernel ("auto" = on TPU only)."""
     if batch_last:
-        cn = functools.partial(tems_cn_update_bl, offset=offset)
+        from nbldpc_tpu.decoders.qspa import _on_tpu
+
+        if use_pallas == "auto":
+            use_pallas = "yes" if _on_tpu() else "no"
+        if use_pallas == "yes":
+            from nbldpc_tpu.kernels.cn_tems import tems_cn_update_bl_pallas
+
+            cn = functools.partial(tems_cn_update_bl_pallas, offset=offset)
+        else:
+            cn = functools.partial(tems_cn_update_bl, offset=offset)
         return common.decode_bl(graph, llr, cn, max_iters, early_term)
     cn = functools.partial(tems_cn_update, offset=offset)
     return common.decode(graph, llr, cn, max_iters, early_term)

@@ -1,0 +1,70 @@
+"""Pallas K5: fused T-EMS trellis check-node update.
+
+Replaces the reference genre's C++ delta-trellis loops (SURVEY.md C10) with
+ONE fused TPU kernel per check-node phase: normalize -> delta transform ->
+top-3 over columns -> dense Gray-scan two-deviation max-convolution ->
+output rotation -> offset correction, all in VMEM — one HBM read and one
+HBM write per message per iteration.
+
+Layout: batch-last [M, dc, q, B] (q on sublanes, frame batch on lanes),
+maskless (pad slots arrive as log-delta0 — see graph.gather_cn_x_bl).
+
+The algorithm is decoders/tems.py::_cn_tems_core verbatim, parameterized by
+the XOR-permute hook: the static single-bit XOR permutes along the q
+(sublane) axis are expressed with `pltpu.roll` + an iota select, exactly as
+in the K1/K2 kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbldpc_tpu.decoders.tems import _cn_tems_core
+from nbldpc_tpu.kernels.cn_ems import _pick_tile, _xor_take_roll
+
+
+def _cn_kernel(u_ref, out_ref, *, q: int, offset: float):
+    U = u_ref[...]                                    # [TM, dc, q, TB]
+    U = U - jnp.max(U, axis=2, keepdims=True)
+    out = _cn_tems_core(U, q, dc_axis=1, q_axis=2, xor_take=_xor_take_roll)
+    out_ref[...] = jnp.minimum(
+        out - jnp.max(out, axis=2, keepdims=True) + offset, 0.0
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("graph", "offset", "interpret")
+)
+def tems_cn_update_bl_pallas(
+    U: jnp.ndarray,
+    graph=None,
+    offset: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused T-EMS CN update. U [M, dc, q, B] f32 log-domain x-domain.
+
+    `graph` is accepted (and ignored) so the call signature matches the
+    CnUpdateFn contract of decoders/common.py; pads need no masking in the
+    batch-last layout (log-delta0 in, outputs never routed)."""
+    M, dc, q, B = U.shape
+    TB = _pick_tile(B, 128)
+    # Working set ~8 live arrays of [TM, dc, q, TB] f32; budget ~8 MiB.
+    tm_target = max(1, (8 * 1024 * 1024) // (8 * dc * q * TB * 4))
+    TM = _pick_tile(M, tm_target)
+    grid = (M // TM, B // TB)
+    spec = pl.BlockSpec(
+        (TM, dc, q, TB), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_cn_kernel, q=q, offset=offset),
+        out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
+        grid=grid,
+        in_specs=[spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(U)

@@ -82,12 +82,12 @@ class ResidentQSPA:
         # "lou" (leave-one-out spectrum products).
         self.ablate = frozenset(a for a in ablate.split(",") if a)
         # Matmul input dtype for routing + WHT. bf16 runs the MXU at full
-        # rate (~2-3x f32): the one-hot routing operand, the +-1 Hadamard
-        # entries, and hard-decision integers < q are EXACT in bf16 — only
-        # the log-domain messages round, a quantized-BP variant.
-        # Opt-in (DecoderConfig default is f32); interpret-mode agreement is
-        # tested in tests/test_pallas.py::test_resident_kernel_bf16_*, and
-        # BER equivalence curves live in benchmarks/results/.
+        # rate (~2-3x f32) and halves VMEM bytes/pass: the one-hot routing
+        # operand, the +-1 Hadamard entries, and hard-decision integers < q
+        # are EXACT in bf16 — only the log-domain messages round, a
+        # quantized-BP variant. Opt-in (DecoderConfig default is f32);
+        # on-device agreement is tested in tests/test_pallas.py (tpu marks)
+        # and the BER comparison harness is benchmarks/ber_precision.py.
         self.mm_dtype = mm_dtype
         # stats_each_iter=False: hard/syndrome only after the loop (pure
         # fixed-budget throughput mode; per-frame iters stats become max_iters)
@@ -257,7 +257,13 @@ class ResidentQSPA:
         def hard_of(post):
             """argmax over exp-order rows -> NATURAL symbol, f32 [TB, N].
             Row iteration is by descending symbol so fp ties resolve to the
-            lowest natural symbol, matching jnp.argmax in the XLA path."""
+            lowest natural symbol, matching jnp.argmax in the XLA path.
+
+            Runs entirely in f32 even in bf16 mode: an i1 mask produced by a
+            bf16 compare feeding an f32 select needs a (16,128)->(8,128)
+            mask relayout that Mosaic rejects ("Invalid relayout ...
+            vector<TBxNxi1>" — the round-2 on-device bf16 compile failure)."""
+            post = post.astype(jnp.float32)
             mx = post[0]
             for a in range(1, q):
                 mx = jnp.maximum(mx, post[a])
@@ -285,10 +291,19 @@ class ResidentQSPA:
             if "rot" in self.ablate:
                 return X
             Z = X[1:]
+            # Conditional rolls as arithmetic blends: RB is exactly 0/1, so
+            # Z*(1-b) + rolled*b selects without any compare, and (unlike
+            # Z + b*(rolled-Z), whose subtraction rounds) each product is
+            # EXACT — one operand is 0.0 or 1.0. Mosaic on this target
+            # supports neither bf16 cmpf nor the i1 mask relayout an
+            # f32-compare + bf16-select pair needs (the round-2 on-device
+            # bf16 compile failures), hence no jnp.where here.
+            one = jnp.asarray(1.0, X.dtype)
             for t in range(self.rot_bits):
                 s = (1 << t) % L
                 rolled = jnp.concatenate([Z[L - s :], Z[: L - s]], axis=0)
-                Z = jnp.where(RB[t] > 0.5, rolled, Z)
+                b = RB[t].astype(X.dtype)
+                Z = Z * (one - b) + rolled * b
             return jnp.concatenate([X[:1], Z], axis=0)
 
         e2n = [int(v) for v in self.exp_to_nat]

@@ -40,10 +40,12 @@ class DecoderConfig:
     early_term: bool = True
     nm: int = 16                    # EMS truncation
     offset: float = 0.0             # EMS/T-EMS offset correction
-    mm_precision: str = "f32"       # resident-kernel routing matmuls:
-                                    # "f32" (default; exact) | "bf16" (full
-                                    # MXU rate; opt-in for throughput runs,
-                                    # BER-validated in benchmarks/results)
+    mm_precision: str = "f32"       # resident-kernel message dtype:
+                                    # "f32" (default; exact) | "bf16"
+                                    # (half the VMEM bytes/pass; opt-in for
+                                    # throughput runs — see
+                                    # benchmarks/ber_precision.py for the
+                                    # bf16-vs-f32 BER comparison harness)
     stats_each_iter: bool = True    # per-iteration hard/syndrome bookkeeping
                                     # in fixed-budget mode (early_term=False);
                                     # False = pure throughput mode (iters

@@ -17,10 +17,13 @@ if "--xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 # Persistent compilation cache: this dev box has 2 cores and XLA compiles are
-# the dominant test cost; cached executables make re-runs fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nbldpc_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+# the dominant test cost; cached executables make re-runs fast. CPU only:
+# under the axon remote-compile service the persistent cache inflates compile
+# times from seconds to minutes (bench.py carries the same warning).
+if os.environ.get("NBLDPC_TPU_TESTS") != "1":
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nbldpc_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

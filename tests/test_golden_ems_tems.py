@@ -233,3 +233,24 @@ def test_k2_kernel_interpret_matches_xla(highq_codes, small_codes, q, nm):
     np.testing.assert_allclose(
         np.array(out), np.array(ref), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("q", [16, 64])
+def test_k5_tems_kernel_interpret_matches_xla(highq_codes, small_codes, q):
+    """K5 fused T-EMS CN kernel (interpret mode) == XLA batch-last update."""
+    import jax
+
+    from nbldpc_tpu.kernels.cn_tems import tems_cn_update_bl_pallas
+
+    spec = small_codes["gf16_tiny"] if q == 16 else highq_codes[q]
+    g = TannerGraph(spec)
+    key = jax.random.PRNGKey(37)
+    Vv = jax.random.normal(
+        key, (g.n, g.dv_max, g.q, 8), jnp.float32
+    ) * 3.0
+    U = jax.jit(g.gather_cn_x_bl)(Vv)
+    ref = jax.jit(lambda u: tems.tems_cn_update_bl(u, g, offset=0.1))(U)
+    out = tems_cn_update_bl_pallas(U, g, offset=0.1, interpret=True)
+    np.testing.assert_allclose(
+        np.array(out), np.array(ref), rtol=1e-5, atol=1e-5
+    )

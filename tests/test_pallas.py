@@ -153,3 +153,100 @@ def test_cn_kernel_device_matches_xla():
         rtol=1e-4,
         atol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# On-device gate (round-3 rule): every Pallas kernel x dtype mode reachable
+# from bench.py / sim.py must compile AND agree on the real chip — interpret
+# mode does not exercise Mosaic lowering (the round-1/2 bf16 lesson).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.tpu
+def test_resident_kernel_bf16_device():
+    """bf16 resident mode (the bench.py headline config) on the real chip:
+    must Mosaic-compile and match the f32 resident decode (>=99% symbols;
+    bf16 quantizes the log messages, so rare near-ties may flip)."""
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA
+
+    spec = make_peg_code(204, 102, 16, dv=2, seed=1)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 256, 2.0, seed=5)
+    d32 = ResidentQSPA(g, max_iters=20, early_term=False,
+                       stats_each_iter=False)
+    d16 = ResidentQSPA(g, max_iters=20, early_term=False,
+                       stats_each_iter=False, mm_dtype=jnp.bfloat16)
+    h32, dn32, _ = jax.jit(lambda x: d32(x, tb=64))(llr)
+    h16, dn16, _ = jax.jit(lambda x: d16(x, tb=64))(llr)
+    assert np.mean(np.array(h32) == np.array(h16)) > 0.99
+    assert np.mean(np.array(dn32) == np.array(dn16)) > 0.98
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("q,nm", [(16, 16), (64, 8), (256, 16)])
+def test_k2_kernel_device_matches_xla(q, nm):
+    """K2 fused EMS CN kernel on the real chip vs the XLA batch-last path
+    (exact same truncated-list semantics; f32 tolerance)."""
+    from nbldpc_tpu.decoders.ems import ems_cn_update_bl
+    from nbldpc_tpu.kernels.cn_ems import ems_cn_update_bl_pallas
+
+    spec = make_peg_code(24, 12, q, dv=2, seed=3)
+    g = TannerGraph(spec)
+    U = _random_u(g, B=128, seed=q)
+    ref = jax.jit(lambda u: ems_cn_update_bl(u, g, nm=nm))(U)
+    out = ems_cn_update_bl_pallas(U, nm=nm)
+    mask = np.array(g.cn_mask_np)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.where(mask, np.array(out), 0.0),
+        np.where(mask, np.array(ref), 0.0),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("q", [16, 64])
+def test_k5_tems_kernel_device_matches_xla(q):
+    """K5 fused T-EMS CN kernel on the real chip vs the XLA batch-last path."""
+    from nbldpc_tpu.decoders.tems import tems_cn_update_bl
+    from nbldpc_tpu.kernels.cn_tems import tems_cn_update_bl_pallas
+
+    spec = make_peg_code(24, 12, q, dv=2, seed=3)
+    g = TannerGraph(spec)
+    U = _random_u(g, B=128, seed=q + 1)
+    ref = jax.jit(lambda u: tems_cn_update_bl(u, g))(U)
+    out = tems_cn_update_bl_pallas(U)
+    mask = np.array(g.cn_mask_np)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.where(mask, np.array(out), 0.0),
+        np.where(mask, np.array(ref), 0.0),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+@pytest.mark.tpu
+def test_resident_throughput_mode_waterfall_device():
+    """stats_each_iter=False (the headline bench mode) at waterfall SNR on
+    device. Message evolution is bookkeeping-independent, so these exact
+    invariants hold even when frames wander after converging:
+      - done(off-mode) => done(stats mode)  (final syndrome pass was seen);
+      - hard decisions equal on frames the stats mode never froze;
+      - frames the stats mode froze carry a syndrome-passing decision."""
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA
+
+    spec = make_peg_code(204, 102, 16, dv=2, seed=1)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 256, 1.2, seed=17)           # mid-waterfall
+    d_on = ResidentQSPA(g, max_iters=20, early_term=False,
+                        stats_each_iter=True)
+    d_off = ResidentQSPA(g, max_iters=20, early_term=False,
+                         stats_each_iter=False)
+    h_on, dn_on, _ = jax.jit(lambda x: d_on(x, tb=64))(llr)
+    h_off, dn_off, _ = jax.jit(lambda x: d_off(x, tb=64))(llr)
+    h_on, dn_on = np.array(h_on), np.array(dn_on)
+    h_off, dn_off = np.array(h_off), np.array(dn_off)
+    assert not np.any(dn_off & ~dn_on)
+    np.testing.assert_array_equal(h_off[~dn_on], h_on[~dn_on])
+    syn = np.array(jax.jit(g.syndrome)(jnp.asarray(h_on)))
+    assert not np.any(syn[dn_on])
