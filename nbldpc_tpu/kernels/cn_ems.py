@@ -88,8 +88,16 @@ def ems_cn_update_bl_pallas(
     M, dc, q, B = U.shape
     nm = min(nm, q)
     TB = _pick_tile(B, 256)
-    # Working set ~ dc+4 arrays of [TM, dc, q, TB] f32; budget ~6 MiB.
-    tm_target = max(1, (6 * 1024 * 1024) // ((dc + 4) * dc * q * TB * 4))
+    # Mosaic allocates every live temporary on the VMEM stack (16 MiB, no
+    # spilling), and the number of simultaneously-live block-sized arrays
+    # GROWS with the unrolled Gray-chain length: measured on device,
+    # ~4.8 MiB of stack per [1, dc, q, TB] row at q=64 (≈37 live arrays)
+    # vs ≲14 at q=16. Model live ≈ 0.7q+6 for the dense-merge path
+    # (q <= 64) and ~34 for the top-nm scan path (q > 64), 12 MiB budget.
+    from nbldpc_tpu.decoders.ems import DENSE_MERGE_MAX_Q
+
+    live = (0.7 * q + 6) if q <= DENSE_MERGE_MAX_Q else (1.5 * nm + 10)
+    tm_target = max(1, int(12 * 1024 * 1024 / (live * dc * q * TB * 4)))
     TM = _pick_tile(M, tm_target)
     grid = (M // TM, B // TB)
     spec = pl.BlockSpec(

