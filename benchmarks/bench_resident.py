@@ -56,11 +56,15 @@ def main():
                                    wht_impl=wht, ablate=ab)
                 fn = jax.jit(lambda x, d=dec, t=tb: d(x, tb=t))
                 jax.block_until_ready(fn(llr))
+                # Time PIPELINED pairs (queue 2, block once): under the axon
+                # remote tunnel, blocking per dispatch adds ~10-30 ms of
+                # round-trip latency per call that a real sim loop (which
+                # queues steps back-to-back) never pays.
                 times = []
-                for _ in range(args.reps):
+                for _ in range(max(1, args.reps // 2)):
                     t0 = time.perf_counter()
-                    jax.block_until_ready(fn(llr))
-                    times.append(time.perf_counter() - t0)
+                    jax.block_until_ready([fn(llr), fn(llr)])
+                    times.append((time.perf_counter() - t0) / 2)
                 best = min(times)
                 med = sorted(times)[len(times) // 2]
                 print(json.dumps({

@@ -53,12 +53,34 @@ def _xor_take_roll(x: jnp.ndarray, h: int, q: int, axis: int) -> jnp.ndarray:
     return x
 
 
-def _cn_kernel(u_ref, out_ref, *, q: int, nm: int, offset: float):
+def _xor_take_concat(x: jnp.ndarray, h: int, q: int, axis: int) -> jnp.ndarray:
+    """Static XOR permute along `axis` as ONE concat of block slices.
+
+    x[a ^ h] visits contiguous runs: for block size s = lowest set bit of h,
+    indices a, a+1, ..., a+s-1 map to a^h, a^h+1, ... — so the permutation
+    is a concat of q/s length-s slices (ONE materialization, vs ~3 per set
+    bit for the roll+select decomposition)."""
+    axis = axis % x.ndim
+    if h == 0:
+        return x
+    s = h & (-h)                                   # lowest set bit
+    pieces = [
+        jax.lax.slice_in_dim(x, b ^ h, (b ^ h) + s, axis=axis)
+        for b in range(0, q, s)
+    ]
+    return jnp.concatenate(pieces, axis=axis)
+
+
+_XOR_IMPLS = {"roll": _xor_take_roll, "concat": _xor_take_concat}
+
+
+def _cn_kernel(u_ref, out_ref, *, q: int, nm: int, offset: float,
+               xor_impl: str = "roll"):
     U = u_ref[...]                                    # [TM, dc, q, TB]
     dc = U.shape[1]
     U = U - jnp.max(U, axis=2, keepdims=True)
     Ujs = [U[:, j] for j in range(dc)]                # [TM, q, TB]
-    outs = _cn_ems_core(Ujs, nm, q, axis=1, xor_take=_xor_take_roll)
+    outs = _cn_ems_core(Ujs, nm, q, axis=1, xor_take=_XOR_IMPLS[xor_impl])
     out_ref[...] = _postprocess(jnp.stack(outs, axis=1), offset, axis=2)
 
 
@@ -71,7 +93,7 @@ def _pick_tile(n: int, target: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("graph", "nm", "offset", "interpret")
+    jax.jit, static_argnames=("graph", "nm", "offset", "interpret", "xor_impl")
 )
 def ems_cn_update_bl_pallas(
     U: jnp.ndarray,
@@ -79,6 +101,7 @@ def ems_cn_update_bl_pallas(
     nm: int = 16,
     offset: float = 0.0,
     interpret: bool = False,
+    xor_impl: str = "roll",
 ) -> jnp.ndarray:
     """Fused K2 EMS CN update. U [M, dc, q, B] f32 log-domain x-domain.
 
@@ -104,7 +127,8 @@ def ems_cn_update_bl_pallas(
         (TM, dc, q, TB), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        functools.partial(_cn_kernel, q=q, nm=nm, offset=offset),
+        functools.partial(_cn_kernel, q=q, nm=nm, offset=offset,
+                          xor_impl=xor_impl),
         out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
         grid=grid,
         in_specs=[spec],
