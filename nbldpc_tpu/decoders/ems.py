@@ -109,21 +109,34 @@ def _top_extract(x: jnp.ndarray, nm: int, q: int, axis: int):
     return jnp.where(removed, x, NEG), vals, idxs
 
 
+def _bitrev(x: int, p: int) -> int:
+    """Reverse the low p bits of x."""
+    r = 0
+    for i in range(p):
+        r |= ((x >> i) & 1) << (p - 1 - i)
+    return r
+
+
 def _merge_dense(accM: jnp.ndarray, opM: jnp.ndarray, q: int, axis: int,
                  xor_take=_xor_take):
     """out[a] = max_b opM[b] + accM[a ^ b], all-q scan with static permutes.
 
-    The scan walks b in GRAY-CODE order, so each step's accM permutation
-    differs from the previous by a SINGLE bit — one static single-bit XOR
-    permute per step instead of popcount(b) (max order-independence makes
-    the reordering free). Truncation lives in the NEG masking of the
-    operands (a NEG entry can never produce the max); with unmasked operands
-    this is the exact untruncated max-xor-convolution (the nm >= q path)."""
+    The scan walks b in BIT-REVERSED GRAY-CODE order, so each step's accM
+    permutation differs from the previous by a SINGLE bit — one static
+    single-bit XOR permute per step instead of popcount(b) — and the bit
+    that flips most often is the HIGHEST one, whose permute is the cheapest
+    lowering (a 2-slice concat; a plain Gray walk flips bit 0 half the
+    time, the q-slice worst case). Max is order-independent, so any
+    Hamiltonian walk computes the same function. Truncation lives in the
+    NEG masking of the operands (a NEG entry can never produce the max);
+    with unmasked operands this is the exact untruncated
+    max-xor-convolution (the nm >= q path)."""
     out = None
     acc_g = accM
+    p = q.bit_length() - 1
     prev = 0
     for g in range(q):
-        b = g ^ (g >> 1)                                   # Gray code
+        b = _bitrev(g ^ (g >> 1), p)                       # reflected Gray
         if b ^ prev:
             acc_g = xor_take(acc_g, b ^ prev, q, axis)
         prev = b

@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from nbldpc_tpu.decoders import common
-from nbldpc_tpu.decoders.ems import _iota, _xor_perm_dyn, _xor_take
+from nbldpc_tpu.decoders.ems import _bitrev, _iota, _xor_perm_dyn, _xor_take
 from nbldpc_tpu.graph import TannerGraph
 
 NEG = -1e30
@@ -60,14 +60,21 @@ def _two_deviation_dense(m1x, c1x, m2x, q: int, axis: int,
     q-axis slice. All tensors carry the dc axis (batched over columns)."""
     iota = _iota(q, m1x.ndim, axis)
     dw = jnp.full_like(m1x, NEG)
-    mp, sp, cp = m1x, m2x, c1x
+    # The three shifted operands advance by the SAME single-bit permute
+    # every Gray step — stack them on a new leading axis so each step is
+    # ONE xor_take materialization instead of three (leading-axis stacking
+    # and slicing are free on TPU).
+    S = jnp.stack([m1x, m2x, c1x])
+    saxis = axis % m1x.ndim + 1
+    p = q.bit_length() - 1
     prev = 0
     for g in range(1, q):
-        e1 = g ^ (g >> 1)                                  # Gray code, != 0
-        mp = xor_take(mp, e1 ^ prev, q, axis)
-        sp = xor_take(sp, e1 ^ prev, q, axis)
-        cp = xor_take(cp, e1 ^ prev, q, axis)
+        # bit-reversed reflected Gray walk: single-bit steps, flipping the
+        # HIGHEST (cheapest-to-permute) bit most often — see ems._merge_dense
+        e1 = _bitrev(g ^ (g >> 1), p)                      # != 0
+        S = xor_take(S, e1 ^ prev, q, saxis)
         prev = e1
+        mp, sp, cp = S[0], S[1], S[2]
         v1 = jax.lax.index_in_dim(m1x, e1, axis, keepdims=True)
         v2 = jax.lax.index_in_dim(m2x, e1, axis, keepdims=True)
         ce = jax.lax.index_in_dim(c1x, e1, axis, keepdims=True)

@@ -71,7 +71,19 @@ def _xor_take_concat(x: jnp.ndarray, h: int, q: int, axis: int) -> jnp.ndarray:
     return jnp.concatenate(pieces, axis=axis)
 
 
-_XOR_IMPLS = {"roll": _xor_take_roll, "concat": _xor_take_concat}
+def _xor_take_auto(x: jnp.ndarray, h: int, q: int, axis: int) -> jnp.ndarray:
+    """Pick the cheaper lowering per shift: concat when it needs <= 16
+    slices (one materialization), roll+select otherwise (small shifts on a
+    long q axis would need q/s tiny slices). Measured on device (round 3,
+    ems_xor_impls.py): concat wins at every shift for q = 16 (+1%) and for
+    the high-bit shifts that dominate q = 256 (+11% end-to-end)."""
+    if h and q // (h & (-h)) <= 16:
+        return _xor_take_concat(x, h, q, axis)
+    return _xor_take_roll(x, h, q, axis)
+
+
+_XOR_IMPLS = {"roll": _xor_take_roll, "concat": _xor_take_concat,
+              "auto": _xor_take_auto}
 
 
 def _cn_kernel(u_ref, out_ref, *, q: int, nm: int, offset: float,
@@ -101,7 +113,7 @@ def ems_cn_update_bl_pallas(
     nm: int = 16,
     offset: float = 0.0,
     interpret: bool = False,
-    xor_impl: str = "roll",
+    xor_impl: str = "auto",
 ) -> jnp.ndarray:
     """Fused K2 EMS CN update. U [M, dc, q, B] f32 log-domain x-domain.
 
@@ -119,8 +131,14 @@ def ems_cn_update_bl_pallas(
     # (q <= 64) and ~34 for the top-nm scan path (q > 64), 12 MiB budget.
     from nbldpc_tpu.decoders.ems import DENSE_MERGE_MAX_Q
 
-    live = (0.7 * q + 6) if q <= DENSE_MERGE_MAX_Q else (1.5 * nm + 10)
-    tm_target = max(1, int(12 * 1024 * 1024 / (live * dc * q * TB * 4)))
+    live = (0.7 * q + 6) if q <= DENSE_MERGE_MAX_Q else 12.0
+    row_bytes = live * dc * q * 4                  # stack per TM*TB element
+    tm_target = int(12 * 1024 * 1024 / (row_bytes * TB))
+    if tm_target < 1:
+        # even a single M-row overflows at this TB — shrink the batch tile
+        # (measured on device: [1,7,256,256] blocks put 18.4M on the stack)
+        TB = _pick_tile(B, max(1, int(12 * 1024 * 1024 / row_bytes)))
+        tm_target = 1
     TM = _pick_tile(M, tm_target)
     grid = (M // TM, B // TB)
     spec = pl.BlockSpec(

@@ -30,19 +30,22 @@ MAG_TINY = 1e-30
 
 
 def _wht_roll(x: jnp.ndarray, q: int, axis: int = 2) -> jnp.ndarray:
-    """Unnormalized WHT along `axis` using circular rolls (Mosaic-friendly)."""
+    """Unnormalized WHT along `axis` using XOR permutes (Mosaic-friendly).
+
+    Per stage h: out[a] = x[a ^ h] + sign_h(a) * x[a] with sign_h(a) = -1
+    where bit_h(a) = 1 — ONE xor-permute (concat of block slices for the
+    high stages, roll+select for the low ones — kernels/cn_ems.py) plus one
+    fused multiply-add, instead of the two selects of the round-2 form."""
+    from nbldpc_tpu.kernels.cn_ems import _xor_take_auto
+
     p = q.bit_length() - 1
     shape = [1] * x.ndim
     shape[axis] = q
     a_idx = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
     for i in range(p):
         h = 1 << i
-        hi = (a_idx & h) != 0
-        # pltpu.roll requires non-negative shifts: roll by -h == roll by q-h.
-        partner = jnp.where(
-            hi, pltpu.roll(x, h, axis=axis), pltpu.roll(x, q - h, axis=axis)
-        )
-        x = jnp.where(hi, partner - x, x + partner)
+        sign = jnp.where((a_idx & h) != 0, -1.0, 1.0).astype(x.dtype)
+        x = _xor_take_auto(x, h, q, axis) + x * sign
     return x
 
 
@@ -79,10 +82,13 @@ def _pick_tile(n: int, target: int) -> int:
 def cn_update_pallas(U: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Fused CN update. U [M, dc, q, B] f32 log-domain x-domain -> same."""
     M, dc, q, B = U.shape
-    TB = _pick_tile(B, 512)
-    # Budget ~2 MiB per in-flight block (x2 buffers x in/out pipelining).
-    tm_target = max(1, (2 * 1024 * 1024) // (dc * q * TB * 4))
-    TM = _pick_tile(M, tm_target)
+    # Mosaic keeps ~8 block-sized temporaries live on its 16 MiB VMEM stack
+    # (measured on device: 24.8 M stack for a [1,7,256,512] block = ~7
+    # arrays, OOM) — bound TM*TB so 8 blocks fit in 12 MiB, shrinking TB
+    # too when even a single-row block would blow the budget (large q*dc).
+    budget_elems = max(1, (12 * 1024 * 1024) // (8 * dc * q * 4))
+    TB = _pick_tile(B, min(512, budget_elems))
+    TM = _pick_tile(M, max(1, budget_elems // TB))
     grid = (M // TM, B // TB)
     spec = pl.BlockSpec(
         (TM, dc, q, TB), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM

@@ -25,13 +25,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nbldpc_tpu.decoders.tems import _cn_tems_core
-from nbldpc_tpu.kernels.cn_ems import _pick_tile, _xor_take_roll
+from nbldpc_tpu.kernels.cn_ems import _pick_tile, _xor_take_auto
 
 
 def _cn_kernel(u_ref, out_ref, *, q: int, offset: float):
     U = u_ref[...]                                    # [TM, dc, q, TB]
     U = U - jnp.max(U, axis=2, keepdims=True)
-    out = _cn_tems_core(U, q, dc_axis=1, q_axis=2, xor_take=_xor_take_roll)
+    out = _cn_tems_core(U, q, dc_axis=1, q_axis=2, xor_take=_xor_take_auto)
     out_ref[...] = jnp.minimum(
         out - jnp.max(out, axis=2, keepdims=True) + offset, 0.0
     )
@@ -58,7 +58,12 @@ def tems_cn_update_bl_pallas(
     # length: measured ~3.15 MiB stack per [1, dc, q, TB] row at q=64
     # (≈24 live arrays) vs ≲10 at q=16. Model live ≈ 0.4q+6, 12 MiB budget.
     live = 0.4 * q + 6
-    tm_target = max(1, int(12 * 1024 * 1024 / (live * dc * q * TB * 4)))
+    row_bytes = live * dc * q * 4                  # stack per TM*TB element
+    tm_target = int(12 * 1024 * 1024 / (row_bytes * TB))
+    if tm_target < 1:
+        # even a single M-row overflows at this TB — shrink the batch tile
+        TB = _pick_tile(B, max(1, int(12 * 1024 * 1024 / row_bytes)))
+        tm_target = 1
     TM = _pick_tile(M, tm_target)
     grid = (M // TM, B // TB)
     spec = pl.BlockSpec(
