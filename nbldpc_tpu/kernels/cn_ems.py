@@ -104,6 +104,20 @@ def _pick_tile(n: int, target: int) -> int:
     return 1
 
 
+def _pick_lane_tile(n: int, target: int) -> int:
+    """Batch (lane-axis) tile: Mosaic requires the last block dim to be a
+    multiple of 128 or the whole axis. Largest 128-multiple divisor of n
+    that is <= target, else n itself (e.g. S*B = 384 must tile as 128, not
+    the 192 a plain largest-divisor pick returns)."""
+    best = 0
+    t = 128
+    while t <= min(n, target):
+        if n % t == 0:
+            best = t
+        t += 128
+    return best if best else n
+
+
 @functools.partial(
     jax.jit, static_argnames=("graph", "nm", "offset", "interpret", "xor_impl")
 )
@@ -122,7 +136,7 @@ def ems_cn_update_bl_pallas(
     batch-last layout (log-delta0 in, outputs never routed)."""
     M, dc, q, B = U.shape
     nm = min(nm, q)
-    TB = _pick_tile(B, 256)
+    TB = _pick_lane_tile(B, 256)
     # Mosaic allocates every live temporary on the VMEM stack (16 MiB, no
     # spilling), and the number of simultaneously-live block-sized arrays
     # GROWS with the unrolled Gray-chain length: measured on device,
@@ -132,12 +146,16 @@ def ems_cn_update_bl_pallas(
     from nbldpc_tpu.decoders.ems import DENSE_MERGE_MAX_Q
 
     live = (0.7 * q + 6) if q <= DENSE_MERGE_MAX_Q else 12.0
-    row_bytes = live * dc * q * 4                  # stack per TM*TB element
+    # stack per TM row, at the PADDED tile shape: the lane axis is stored
+    # padded to 128 (a B=16 call measured 55.9M of stack — 8x the naive
+    # model) and the sublane axis to a multiple of 8
+    tb_pad = max(128, TB)
+    row_bytes = live * dc * (-(-q // 8) * 8) * tb_pad * 4 // TB
     tm_target = int(12 * 1024 * 1024 / (row_bytes * TB))
     if tm_target < 1:
         # even a single M-row overflows at this TB — shrink the batch tile
         # (measured on device: [1,7,256,256] blocks put 18.4M on the stack)
-        TB = _pick_tile(B, max(1, int(12 * 1024 * 1024 / row_bytes)))
+        TB = _pick_lane_tile(B, max(1, int(12 * 1024 * 1024 / row_bytes)))
         tm_target = 1
     TM = _pick_tile(M, tm_target)
     grid = (M // TM, B // TB)

@@ -86,9 +86,12 @@ def cn_update_pallas(U: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     # (measured on device: 24.8 M stack for a [1,7,256,512] block = ~7
     # arrays, OOM) — bound TM*TB so 8 blocks fit in 12 MiB, shrinking TB
     # too when even a single-row block would blow the budget (large q*dc).
+    from nbldpc_tpu.kernels.cn_ems import _pick_lane_tile
+
     budget_elems = max(1, (12 * 1024 * 1024) // (8 * dc * q * 4))
-    TB = _pick_tile(B, min(512, budget_elems))
-    TM = _pick_tile(M, max(1, budget_elems // TB))
+    TB = _pick_lane_tile(B, min(512, budget_elems))
+    # the lane axis is stored padded to >= 128 — budget against that
+    TM = _pick_tile(M, max(1, budget_elems // max(TB, 128)))
     grid = (M // TM, B // TB)
     spec = pl.BlockSpec(
         (TM, dc, q, TB), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM

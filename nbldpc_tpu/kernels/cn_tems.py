@@ -25,7 +25,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nbldpc_tpu.decoders.tems import _cn_tems_core
-from nbldpc_tpu.kernels.cn_ems import _pick_tile, _xor_take_auto
+from nbldpc_tpu.kernels.cn_ems import (
+    _pick_lane_tile, _pick_tile, _xor_take_auto,
+)
 
 
 def _cn_kernel(u_ref, out_ref, *, q: int, offset: float):
@@ -52,17 +54,20 @@ def tems_cn_update_bl_pallas(
     CnUpdateFn contract of decoders/common.py; pads need no masking in the
     batch-last layout (log-delta0 in, outputs never routed)."""
     M, dc, q, B = U.shape
-    TB = _pick_tile(B, 128)
+    TB = _pick_lane_tile(B, 128)
     # Mosaic allocates every live temporary on the VMEM stack (16 MiB, no
     # spilling), and the live-array count grows with the unrolled Gray-scan
     # length: measured ~3.15 MiB stack per [1, dc, q, TB] row at q=64
     # (≈24 live arrays) vs ≲10 at q=16. Model live ≈ 0.4q+6, 12 MiB budget.
     live = 0.4 * q + 6
-    row_bytes = live * dc * q * 4                  # stack per TM*TB element
+    # stack per TM row at the PADDED tile shape (lane axis stores as >=128,
+    # sublanes as a multiple of 8 — see cn_ems.py)
+    tb_pad = max(128, TB)
+    row_bytes = live * dc * (-(-q // 8) * 8) * tb_pad * 4 // TB
     tm_target = int(12 * 1024 * 1024 / (row_bytes * TB))
     if tm_target < 1:
         # even a single M-row overflows at this TB — shrink the batch tile
-        TB = _pick_tile(B, max(1, int(12 * 1024 * 1024 / row_bytes)))
+        TB = _pick_lane_tile(B, max(1, int(12 * 1024 * 1024 / row_bytes)))
         tm_target = 1
     TM = _pick_tile(M, tm_target)
     grid = (M // TM, B // TB)
