@@ -50,6 +50,9 @@ def worker(batch: int, reps: int, precision: str = "bf16") -> None:
     keys = [jax.random.fold_in(key, r) for r in range(reps)]
 
     jax.block_until_ready(step(key, sigmas))  # warmup / compile
+    # second warmup: the axon tunnel occasionally spends ~1 s on the SECOND
+    # execution of a program (measured) — keep it out of the timed reps
+    jax.block_until_ready(step(jax.random.fold_in(key, 999), sigmas))
 
     t0 = time.perf_counter()
     outs = [step(k, sigmas) for k in keys]

@@ -76,12 +76,23 @@ def main():
         out = step(key, sigmas)
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t_c0
-        t0 = time.perf_counter()
-        for r in range(reps):
-            out = step(jax.random.fold_in(key, r), sigmas)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        frames = batch * n_snr * reps
+        # second warmup: the axon tunnel occasionally spends ~1 s on the
+        # SECOND execution of a program (measured: 1050 ms then 34 ms
+        # steady-state) — keep that out of the timed reps
+        jax.block_until_ready(step(key, sigmas))
+        # Time several pipelined batches and take the BEST: tunnel dispatch
+        # throughput degrades transiently (measured 10x) right after large
+        # remote compiles, and a single timed window can land inside the
+        # degraded period.
+        per_batch = max(2, reps // 2)
+        dt = float("inf")
+        for b in range(3):
+            t0 = time.perf_counter()
+            outs = [step(jax.random.fold_in(key, b * per_batch + r), sigmas)
+                    for r in range(per_batch)]
+            jax.block_until_ready(outs)
+            dt = min(dt, time.perf_counter() - t0)
+        frames = batch * n_snr * per_batch
         rec = {
             "config": name,
             "code": code,
@@ -98,7 +109,13 @@ def main():
 
     outdir = Path(__file__).parent / "results"
     outdir.mkdir(exist_ok=True)
-    (outdir / f"{args.tag}.json").write_text(json.dumps(records, indent=2))
+    out = outdir / f"{args.tag}.json"
+    # merge by config name so --only reruns update records in place
+    merged = {}
+    if out.exists():
+        merged = {r["config"]: r for r in json.loads(out.read_text())}
+    merged.update({r["config"]: r for r in records})
+    out.write_text(json.dumps(list(merged.values()), indent=2))
 
 
 if __name__ == "__main__":
