@@ -29,13 +29,16 @@ def main():
     ap.add_argument("--tiles", default="64,128")
     ap.add_argument("--dtypes", default="f32,bf16")
     ap.add_argument("--wht", default="vpu")
+    ap.add_argument("--layout", default="cl",
+                    help="comma list of cl (checks-on-lanes, round-2/3) "
+                         "and/or fl (frames-on-lanes, round 4)")
     ap.add_argument("--ablate", default="",
                     help="comma-of-semicolon list, e.g. ';rot;wht;route'")
     args = ap.parse_args()
 
     from nbldpc_tpu.codegen import build_standard_code
     from nbldpc_tpu.graph import TannerGraph
-    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA, ResidentQSPAFL
 
     spec = build_standard_code(args.code)
     graph = TannerGraph(spec)
@@ -43,17 +46,19 @@ def main():
     key = jax.random.PRNGKey(0)
     llr = jax.random.normal(key, (B, spec.n, spec.q), jnp.float32) * 4.0
 
-    for ab in args.ablate.split(";"):
-      for wht in args.wht.split(","):
+    for layout in args.layout.split(","):
+      cls = ResidentQSPAFL if layout == "fl" else ResidentQSPA
+      for ab in args.ablate.split(";"):
+       for wht in args.wht.split(","):
         for dt_name in args.dtypes.split(","):
           mmdt = jnp.bfloat16 if dt_name == "bf16" else jnp.float32
           for tb in (int(t) for t in args.tiles.split(",")):
             if B % tb:
                 continue
             try:
-                dec = ResidentQSPA(graph, args.iters, early_term=False,
-                                   stats_each_iter=False, mm_dtype=mmdt,
-                                   wht_impl=wht, ablate=ab)
+                dec = cls(graph, args.iters, early_term=False,
+                          stats_each_iter=False, mm_dtype=mmdt,
+                          wht_impl=wht, ablate=ab)
                 fn = jax.jit(lambda x, d=dec, t=tb: d(x, tb=t))
                 jax.block_until_ready(fn(llr))
                 # Time PIPELINED pairs (queue 2, block once): under the axon
@@ -68,7 +73,7 @@ def main():
                 best = min(times)
                 med = sorted(times)[len(times) // 2]
                 print(json.dumps({
-                    "variant": f"resident_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
+                    "variant": f"resident_{layout}_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
                     "sym_per_s_best": round(B * spec.n / best, 1),
                     "sym_per_s_median": round(B * spec.n / med, 1),
                     "step_ms_best": round(best * 1e3, 2),
@@ -76,7 +81,7 @@ def main():
                 }), flush=True)
             except Exception as e:  # noqa: BLE001 — report and keep sweeping
                 print(json.dumps({
-                    "variant": f"resident_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
+                    "variant": f"resident_{layout}_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
                     "error": f"{type(e).__name__}: {str(e)[:300]}",
                 }), flush=True)
 

@@ -115,7 +115,13 @@ def main():
     if out.exists():
         merged = {r["config"]: r for r in json.loads(out.read_text())}
     merged.update({r["config"]: r for r in records})
-    out.write_text(json.dumps(list(merged.values()), indent=2))
+    # write in CONFIGS order (then any extras) so record order is stable
+    # across partial --only reruns, matching fer_curves.py's behavior
+    order = {name: i for i, (name, *_rest) in enumerate(CONFIGS)}
+    ordered = sorted(merged.values(),
+                     key=lambda r: (order.get(r["config"], len(order)),
+                                    r["config"]))
+    out.write_text(json.dumps(ordered, indent=2))
 
 
 if __name__ == "__main__":

@@ -154,8 +154,11 @@ def ems_cn_update_bl_pallas(
     tm_target = int(12 * 1024 * 1024 / (row_bytes * TB))
     if tm_target < 1:
         # even a single M-row overflows at this TB — shrink the batch tile
-        # (measured on device: [1,7,256,256] blocks put 18.4M on the stack)
-        TB = _pick_lane_tile(B, max(1, int(12 * 1024 * 1024 / row_bytes)))
+        # (measured on device: [1,7,256,256] blocks put 18.4M on the stack).
+        # Floor the target at 128: below that _pick_lane_tile finds no
+        # 128-multiple divisor and would return the WHOLE axis, yielding a
+        # strictly larger block than the one that already overflowed.
+        TB = _pick_lane_tile(B, max(128, int(12 * 1024 * 1024 / row_bytes)))
         tm_target = 1
     TM = _pick_tile(M, tm_target)
     grid = (M // TM, B // TB)

@@ -89,7 +89,9 @@ def cn_update_pallas(U: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     from nbldpc_tpu.kernels.cn_ems import _pick_lane_tile
 
     budget_elems = max(1, (12 * 1024 * 1024) // (8 * dc * q * 4))
-    TB = _pick_lane_tile(B, min(512, budget_elems))
+    # floor at 128: a sub-128 target makes _pick_lane_tile return the whole
+    # axis (no 128-multiple divisor <= target), defeating the VMEM bound
+    TB = _pick_lane_tile(B, max(128, min(512, budget_elems)))
     # the lane axis is stored padded to >= 128 — budget against that
     TM = _pick_tile(M, max(1, budget_elems // max(TB, 128)))
     grid = (M // TM, B // TB)

@@ -67,7 +67,9 @@ def tems_cn_update_bl_pallas(
     tm_target = int(12 * 1024 * 1024 / (row_bytes * TB))
     if tm_target < 1:
         # even a single M-row overflows at this TB — shrink the batch tile
-        TB = _pick_lane_tile(B, max(1, int(12 * 1024 * 1024 / row_bytes)))
+        # (target floored at 128: below that _pick_lane_tile returns the
+        # whole axis, a strictly LARGER block — see cn_ems.py)
+        TB = _pick_lane_tile(B, max(128, int(12 * 1024 * 1024 / row_bytes)))
         tm_target = 1
     TM = _pick_tile(M, tm_target)
     grid = (M // TM, B // TB)

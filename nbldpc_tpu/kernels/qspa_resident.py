@@ -474,6 +474,358 @@ class ResidentQSPA:
         return hard, done, iters
 
 
+class ResidentQSPAFL(ResidentQSPA):
+    """K0 with the round-4 FRAMES-ON-LANES 2D layout (VERDICT r3, item 1).
+
+    The round-2/3 layout [q, dc, TB, M] put checks on the 128-lane axis:
+    M=102 pads to 128 (20% of every VPU pass wasted; GF(4)'s M=48 wastes
+    2.7x) in a kernel that is measured VPU-pass bound. This layout is 2D:
+
+        messages  [E, q*TB]       posterior/prior  [N, q*TB]
+
+    where E = dc * Mp edge-slot rows (Mp = M sublane-padded to 8, ~2%
+    waste), and the lane axis is q GROUPS of TB=128 frames (zero pad).
+    Every former q-axis operation becomes a TILE-ALIGNED lane-group op:
+    GF rotations roll lane groups, WHT butterflies add/sub lane-group
+    halves, the softmax reduces across groups — all at 100% lane
+    utilization (measured 2.4x per-frame speedup on the rotation+softmax
+    chain, benchmarks/micro_layout.py).
+
+    Routing is the reason for the 2D shape: a first rank-4 rewrite
+    [q, dc, M, TB] kept q leading, but dot_general's output-order rule
+    (batch, lhs_free, rhs_free) cannot produce a q-leading output from a
+    q-free one-hot operator, and every fix-up (identity-matmul transpose,
+    VPU relayout, q-replicated operators) measured 90-100 ns/frame-iter —
+    the whole-kernel step came out 108 ms vs the parent's 50 ms. In 2D
+    both routes are single plain GEMMs with NO fix-up:
+
+        down:  Wd [E, N]  (x)  post [N, q*TB]  -> [E, q*TB]
+        up:    Wd^T contraction over E         -> [N, q*TB]
+
+    fp-exact parity: every arithmetic association (butterfly order,
+    leave-one-out product order, softmax division, tie-breaking scan)
+    matches the parent kernel, so hard decisions/done/iters are identical
+    (tested in tests/test_pallas.py).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        q, dc, m, n = self.q, self.dc, self.m, self.n
+        g = self.graph
+        Mp = -(-m // 8) * 8          # sublane-pad each slot's row block
+        self.m_pad = Mp
+        E2 = dc * Mp
+        self.e2 = E2
+        cn_vn = g.cn_vn_np
+        cn_mask = g.cn_mask_np
+        # routing one-hot over edge-slot rows e = j*Mp + mi (pad rows zero)
+        Wd = np.zeros((E2, n), np.float32)
+        for mi in range(m):
+            for j in range(dc):
+                if cn_mask[mi, j]:
+                    Wd[j * Mp + mi, cn_vn[mi, j]] = 1.0
+        self.Wd = Wd
+        # rotation bits per edge-slot row (pad rows 0 — their Ux rows are
+        # overwritten by the delta fix / never routed up)
+        L = q - 1
+        lw = g.gf.log[np.maximum(g.cn_w_np, 1)]            # [M, dc]
+        r_down = np.mod(lw, L)
+        r_up = np.mod(L - lw, L)
+
+        def bits2(r):
+            out = np.zeros((self.rot_bits, E2, 1), np.float32)
+            for t in range(self.rot_bits):
+                for j in range(dc):
+                    out[t, j * Mp:j * Mp + m, 0] = (r[:, j] >> t) & 1
+            return out
+
+        self.rbits_down2 = bits2(r_down)
+        self.rbits_up2 = bits2(r_up)
+        real = np.zeros((E2, 1), np.float32)
+        for j in range(dc):
+            real[j * Mp:j * Mp + m, 0] = cn_mask[:, j]
+        self.real2 = real
+        # irregular-code pad slots need the delta0 fix (spectrum = ones);
+        # structural pad rows (mi >= m) are row-aligned garbage that the
+        # up-route's zero rows ignore, so they alone don't require it
+        self.has_pads2 = bool((real[:, 0] == 0).any()) and self.has_pads
+        synk2 = np.zeros((dc, self.p, Mp), np.int32)
+        synk2[:, :, :m] = self.syn_k_jpm
+        self.synk2 = synk2
+
+    # ---- kernel body (2D frames-on-lanes) -------------------------------
+
+    def _kernel(self, llr_ref, wd_ref, rbd_ref, rbu_ref, real_ref, synk_ref,
+                hard_ref, stats_ref, lc_ref):
+        q, n, m, dc, p = self.q, self.n, self.m, self.dc, self.p
+        Mp, E2 = self.m_pad, self.e2
+        TB = llr_ref.shape[2]
+        n2e = [int(v) for v in self.nat_to_exp]
+        e2n = [int(v) for v in self.exp_to_nat]
+        L = q - 1
+        mdt = self.mm_dtype
+
+        def grp(X, a, w=1):
+            """Lane-group slice: symbols [a, a+w) x all TB frames."""
+            return X[:, a * TB:(a + w) * TB]
+
+        def regroup(X, order):
+            """Permute lane groups (the exp<->nat basis reorder)."""
+            return jnp.concatenate([grp(X, k) for k in order], axis=1)
+
+        # [N, q, TB] natural-order input -> 2D lane groups. NOTE: the
+        # middle-index extract Lr[:, k, :] feeding a lane concat is the one
+        # construct Mosaic rejects here ("result/input offset mismatch on
+        # non-concat dimension") — reshape first, then group ops.
+        Lr = llr_ref[...].reshape(n, q * TB)
+        mx = Lr[:, :TB]
+        for a in range(1, q):
+            mx = jnp.maximum(mx, Lr[:, a * TB:(a + 1) * TB])
+        Lrn = Lr - jnp.concatenate([mx] * q, axis=1)
+        prior = jnp.concatenate(
+            [Lrn[:, k * TB:(k + 1) * TB] for k in n2e],
+            axis=1).astype(mdt)                            # [N, q*TB] exp
+
+        Wd = wd_ref[...]                                   # [E2, N]
+        RBd = rbd_ref[...]                                 # [T, E2, 1]
+        RBu = rbu_ref[...]
+        real = real_ref[...]                               # [E2, 1]
+        synk = synk_ref[...]                               # [dc, p, Mp]
+
+        def dotg(a, b, dims, adt=None):
+            return jax.lax.dot_general(
+                a.astype(adt or mdt), b.astype(adt or mdt), (dims, ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def route_down(post2):
+            """post [N, q*TB] -> edge-slot values [E2, q*TB]: one GEMM."""
+            return dotg(Wd, post2, ((1,), (0,))).astype(mdt)
+
+        def route_up():
+            """lc_ref [E2, q*TB] -> posterior [N, q*TB] (incl. prior)."""
+            r = dotg(Wd, lc_ref[...], ((0,), (0,)))
+            return prior + r.astype(mdt)
+
+        def rotate(X, RB):
+            """Exp-order GF rotation of lane groups 1..q-1, per-row bits."""
+            if "rot" in self.ablate:
+                return X
+            Z = X[:, TB:]
+            one = jnp.asarray(1.0, X.dtype)
+            for t in range(self.rot_bits):
+                s = (1 << t) % L
+                cut = (L - s) * TB
+                rolled = jnp.concatenate([Z[:, cut:], Z[:, :cut]], axis=1)
+                b = RB[t].astype(X.dtype)
+                Z = Z * (one - b) + rolled * b
+            return jnp.concatenate([X[:, :TB], Z], axis=1)
+
+        def wht_vpu(X):
+            """Natural-order WHT across lane groups: p butterfly stages of
+            aligned half-block add/sub + lane concat."""
+            for i in range(p):
+                h = 1 << i
+                pieces = []
+                for bb in range(0, q, 2 * h):
+                    lo = grp(X, bb, h)
+                    hi = grp(X, bb + h, h)
+                    pieces.append(lo + hi)
+                    pieces.append(lo - hi)
+                X = jnp.concatenate(pieces, axis=1)
+            return X
+
+        def softmax_q(X):
+            """exp + normalize across lane groups, f32 (prob domain)."""
+            X = X.astype(jnp.float32)
+            Ex = X if "trans" in self.ablate else jnp.exp(X)
+            if "smax" in self.ablate:
+                return Ex
+            S = grp(Ex, 0)
+            for a in range(1, q):
+                S = S + grp(Ex, a)
+            return Ex / jnp.concatenate([S] * q, axis=1)
+
+        def cn_update(Ux):
+            """[E2, q*TB] prob (exp-order) -> log extrinsic (exp-order).
+            Leave-one-out across the dc row blocks, in the parent kernel's
+            exact association order."""
+            if "wht" in self.ablate:
+                F = Ux
+            else:
+                F = wht_vpu(regroup(Ux, e2n))
+            if "lou" in self.ablate:
+                G = F
+            else:
+                Fr = [F[j * Mp:(j + 1) * Mp] for j in range(dc)]
+                if dc > 5:
+                    suf = [None] * dc
+                    run = jnp.ones_like(Fr[0])
+                    for j in range(dc - 1, -1, -1):
+                        suf[j] = run
+                        run = run * Fr[j]
+                runp = jnp.ones_like(Fr[0])
+                Gr = []
+                for j in range(dc):
+                    if dc > 5:
+                        sj = suf[j]
+                    else:
+                        # direct suffix recompute, same association as the
+                        # list sweep (one fewer full tensor live in VMEM)
+                        sj = jnp.ones_like(Fr[0])
+                        for k in range(dc - 1, j, -1):
+                            sj = sj * Fr[k]
+                    Gr.append(runp * sj)
+                    runp = runp * Fr[j]
+                G = jnp.concatenate(Gr, axis=0)
+            if "wht" in self.ablate:
+                Q = G
+            else:
+                Q = regroup(wht_vpu(G), n2e) * (1.0 / q)
+            if "trans" in self.ablate:
+                return jnp.maximum(Q, PROB_FLOOR)
+            return jnp.log(jnp.maximum(Q, PROB_FLOOR))
+
+        def hard_of(post2):
+            """[N, q*TB] -> natural symbols [N, TB] f32; descending-symbol
+            scan so fp ties resolve to the lowest natural symbol."""
+            post2 = post2.astype(jnp.float32)
+            mxp = grp(post2, 0)
+            for a in range(1, q):
+                mxp = jnp.maximum(mxp, grp(post2, a))
+            order = sorted(range(q), key=lambda k: -n2e[k])
+            idx = jnp.zeros_like(mxp)
+            for k in order:
+                idx = jnp.where(grp(post2, k) >= mxp,
+                                jnp.float32(n2e[k]), idx)
+            return idx
+
+        def syndrome_ok(hardf):
+            """[N, TB] f32 -> done [1, TB] f32 (1 = all checks satisfied)."""
+            acc = jnp.zeros((Mp, TB), jnp.int32)
+            for j in range(dc):
+                he = dotg(Wd[j * Mp:(j + 1) * Mp], hardf, ((1,), (0,)),
+                          adt=jnp.float32).astype(jnp.int32)
+                gx = jnp.zeros_like(he)
+                for t in range(p):
+                    gx = gx ^ (((he >> t) & 1) * synk[j, t][:, None])
+                acc = acc ^ gx
+            bad = jnp.max(acc, axis=0, keepdims=True)      # [1, TB]
+            return jnp.where(bad == 0, 1.0, 0.0)
+
+        # ---- init ----
+        lc_ref[...] = jnp.zeros((E2, q * TB), mdt)
+        hard0 = hard_of(prior)
+        done0 = syndrome_ok(hard0)
+        iters0 = jnp.zeros((1, TB), jnp.float32)
+        if self.has_pads2:
+            d0 = jnp.concatenate(
+                [jnp.ones((1, TB), jnp.float32),
+                 jnp.zeros((1, (q - 1) * TB), jnp.float32)], axis=1)
+
+        def body(carry):
+            post2, hardf, done, iters = carry
+            if "route" in self.ablate:
+                Ve = lc_ref[...] * jnp.asarray(1.0, mdt)
+            else:
+                Ve = route_down(post2) - lc_ref[...]
+            Ux = softmax_q(rotate(Ve, RBd))
+            if self.has_pads2:
+                Ux = Ux * real + d0 * (1.0 - real)
+            lc_ref[...] = rotate(cn_update(Ux).astype(mdt), RBu)
+            if "route" in self.ablate:
+                s = jnp.sum(lc_ref[...], axis=0).reshape(1, q * TB)
+                post_new = prior + (s * jnp.asarray(1e-9, mdt)).astype(mdt)
+            else:
+                post_new = route_up()
+            if not self.stats_each_iter:
+                return (post_new, hardf, done, iters + (1.0 - done))
+            hard_new = hard_of(post_new)
+            done_new = syndrome_ok(hard_new)
+            hardf2 = jnp.where(done > 0.5, hardf, hard_new)
+            iters2 = iters + (1.0 - done)
+            done2 = jnp.maximum(done, done_new)
+            return (post_new, hardf2, done2, iters2)
+
+        carry = (prior, hard0, done0, iters0)
+        if self.early_term:
+            def cond_body(i, carry):
+                alldone = jnp.min(carry[2]) > 0.5
+                return jax.lax.cond(alldone, lambda c: c, body, carry)
+            carry = jax.lax.fori_loop(0, self.max_iters, cond_body, carry)
+        else:
+            carry = jax.lax.fori_loop(0, self.max_iters,
+                                      lambda i, c: body(c), carry)
+
+        post_f, hardf, done, iters = carry
+        if not self.stats_each_iter:
+            hardf = hard_of(post_f)
+            done = syndrome_ok(hardf)
+        hard_ref[...] = hardf.astype(jnp.int32)            # [N, TB]
+        stats_ref[...] = jnp.concatenate(
+            [done, iters, jnp.zeros((6, TB), jnp.float32)], axis=0)
+
+    # ---- public entry ----------------------------------------------------
+
+    def __call__(self, llr: jnp.ndarray, tb: int = 128,
+                 interpret: bool = False):
+        """llr [B, N, q] -> (hard [B, N] i32, done [B] bool, iters [B] i32).
+
+        tb is the frame tile inside each lane group: use a multiple of 128
+        (any divisor of B works but sub-128 tiles pad lanes and waste VPU
+        work, which is what this layout exists to avoid).
+        """
+        B = llr.shape[0]
+        q, n = self.q, self.n
+        tb = min(tb, B)
+        assert B % tb == 0, f"batch {B} must be a multiple of tile {tb}"
+        lt = jnp.transpose(llr, (1, 2, 0))                 # [N, q, B]
+
+        grid = (B // tb,)
+        consts = [
+            jnp.asarray(self.Wd),
+            jnp.asarray(self.rbits_down2),
+            jnp.asarray(self.rbits_up2),
+            jnp.asarray(self.real2),
+            jnp.asarray(self.synk2),
+        ]
+        const_specs = [
+            pl.BlockSpec(c.shape, lambda i, _nd=c.ndim: (0,) * _nd,
+                         memory_space=pltpu.VMEM)
+            for c in consts
+        ]
+        hard, stats = pl.pallas_call(
+            self._kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((n, B), jnp.int32),
+                jax.ShapeDtypeStruct((8, B), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n, q, tb), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                *const_specs,
+            ],
+            out_specs=(
+                pl.BlockSpec((n, tb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, tb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((self.e2, q * tb), self.mm_dtype),
+            ],
+            # the default scoped-vmem limit is 16M; the full-tensor peak
+            # (lC scratch + spectra + posterior + double-buffered input)
+            # needs more at TB=128 — the chip's physical VMEM is larger
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(lt, *consts)
+        done = stats[0] > 0.5
+        iters = stats[1].astype(jnp.int32)
+        return jnp.transpose(hard), done, iters
+
+
 def get_resident_decoder(graph: TannerGraph, max_iters: int, early_term: bool,
                          stats_each_iter: bool = True,
                          mm_dtype=jnp.float32, wht_impl: str = "vpu"):

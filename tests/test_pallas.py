@@ -191,8 +191,14 @@ def test_resident_kernel_bf16_device():
     assert both.sum() > 128  # the comparison must not be vacuous
     # (a) converged frames agree symbol-for-symbol (near-ties excepted)
     assert np.mean(h32[both] == h16[both]) > 0.999
-    # (b) convergence rates match within a few frames
-    assert abs(int(dn32.sum()) - int(dn16.sum())) <= 8
+    # (b) convergence rates match within the binomial noise of the measured
+    # rate (~3 sigma on 256 frames), not a seed-pinned absolute count: a
+    # benign numerics change (compiler update, tile shape) may shift a few
+    # marginal frames without any real coding-performance regression
+    nfr = dn32.shape[0]
+    p32 = dn32.sum() / nfr
+    sigma = float(np.sqrt(max(p32 * (1 - p32), 0.02) * nfr))
+    assert abs(int(dn32.sum()) - int(dn16.sum())) <= max(8, int(3 * sigma))
     # (c) frame-error counts vs the true codewords are equivalent
     fe32 = int(np.sum(np.any(h32 != np.array(cw), axis=1)))
     fe16 = int(np.sum(np.any(h16 != np.array(cw), axis=1)))
