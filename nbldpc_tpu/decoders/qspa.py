@@ -99,12 +99,19 @@ def _on_tpu() -> bool:
     return jax.extend.backend.get_backend().platform == "tpu"
 
 
-def _resident_tile(batch: int) -> int:
-    """Largest divisor of batch that is <= 64 and a multiple of 8 (0 = none)."""
+def _resident_tile(batch: int) -> tuple:
+    """(layout, tile) for the resident kernel, or ("", 0) if none fits.
+
+    Prefers the round-4 frames-on-lanes layout (tile = multiple of 128 on
+    the lane axis — measured ~10% faster at GF(16) and ~15% at GF(4) than
+    the checks-on-lanes layout, with zero lane padding); falls back to the
+    checks-on-lanes layout with a sublane tile for smaller batches."""
+    if batch % 128 == 0:
+        return "fl", 128
     for t in range(min(batch, 64), 7, -1):
         if batch % t == 0 and t % 8 == 0:
-            return t
-    return 0
+            return "cl", t
+    return "", 0
 
 
 def _pick_impl(impl: str, graph: TannerGraph, batch: int) -> str:
@@ -114,7 +121,7 @@ def _pick_impl(impl: str, graph: TannerGraph, batch: int) -> str:
         return impl
     if not _on_tpu():
         return "xla"
-    if graph.q <= 32 and _resident_tile(batch):
+    if graph.q <= 32 and _resident_tile(batch)[1]:
         return "resident"
     return "pallas"
 
@@ -149,10 +156,11 @@ def decode(
             from nbldpc_tpu.kernels.qspa_resident import get_resident_decoder
 
             mmdt = jnp.bfloat16 if mm_precision == "bf16" else jnp.float32
+            layout, tb = _resident_tile(llr.shape[0])
             dec = get_resident_decoder(graph, max_iters, early_term,
                                        stats_each_iter=stats_each_iter,
-                                       mm_dtype=mmdt)
-            hard, done, iters = dec(llr, tb=_resident_tile(llr.shape[0]))
+                                       mm_dtype=mmdt, layout=layout)
+            hard, done, iters = dec(llr, tb=tb)
             return common.DecodeResult(hard=hard, done=done, iters=iters)
         cn = qspa_cn_update_bl_pallas if impl == "pallas" else qspa_cn_update_bl
         return common.decode_bl(graph, llr, cn, max_iters, early_term)

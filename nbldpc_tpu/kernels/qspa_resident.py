@@ -556,7 +556,7 @@ class ResidentQSPAFL(ResidentQSPA):
     # ---- kernel body (2D frames-on-lanes) -------------------------------
 
     def _kernel(self, llr_ref, wd_ref, rbd_ref, rbu_ref, real_ref, synk_ref,
-                hard_ref, stats_ref, lc_ref):
+                hard_ref, stats_ref, lc_ref, post_ref):
         q, n, m, dc, p = self.q, self.n, self.m, self.dc, self.p
         Mp, E2 = self.m_pad, self.e2
         TB = llr_ref.shape[2]
@@ -634,25 +634,32 @@ class ResidentQSPAFL(ResidentQSPA):
                 X = jnp.concatenate(pieces, axis=1)
             return X
 
-        def softmax_q(X):
-            """exp + normalize across lane groups, f32 (prob domain)."""
+        def softmax_q(X, order=None):
+            """exp + normalize across lane groups, f32 (prob domain).
+
+            `order` permutes the OUTPUT lane groups inside the same concat
+            that writes the division result — the exp<->nat basis regroup
+            rides the softmax's materialization for free (per-element
+            arithmetic identical, so results stay fp-exact)."""
             X = X.astype(jnp.float32)
             Ex = X if "trans" in self.ablate else jnp.exp(X)
             if "smax" in self.ablate:
-                return Ex
+                return Ex if order is None else regroup(Ex, order)
             S = grp(Ex, 0)
             for a in range(1, q):
                 S = S + grp(Ex, a)
-            return Ex / jnp.concatenate([S] * q, axis=1)
+            out_order = range(q) if order is None else order
+            return jnp.concatenate(
+                [grp(Ex, k) / S for k in out_order], axis=1)
 
-        def cn_update(Ux):
-            """[E2, q*TB] prob (exp-order) -> log extrinsic (exp-order).
+        def cn_update(Ux_nat):
+            """[E2, q*TB] prob (NAT order in, exp order out) log extrinsic.
             Leave-one-out across the dc row blocks, in the parent kernel's
             exact association order."""
             if "wht" in self.ablate:
-                F = Ux
+                F = Ux_nat
             else:
-                F = wht_vpu(regroup(Ux, e2n))
+                F = wht_vpu(Ux_nat)
             if "lou" in self.ablate:
                 G = F
             else:
@@ -679,11 +686,20 @@ class ResidentQSPAFL(ResidentQSPA):
                 G = jnp.concatenate(Gr, axis=0)
             if "wht" in self.ablate:
                 Q = G
-            else:
-                Q = regroup(wht_vpu(G), n2e) * (1.0 / q)
+                if "trans" in self.ablate:
+                    return jnp.maximum(Q, PROB_FLOOR)
+                return jnp.log(jnp.maximum(Q, PROB_FLOOR))
+            # inverse WHT, then fold the nat->exp regroup + 1/q scale +
+            # floor + log into the pieces of ONE output concat (per-element
+            # arithmetic unchanged -> fp-exact vs the separate-pass form)
+            W = wht_vpu(G)
             if "trans" in self.ablate:
-                return jnp.maximum(Q, PROB_FLOOR)
-            return jnp.log(jnp.maximum(Q, PROB_FLOOR))
+                return jnp.concatenate(
+                    [jnp.maximum(grp(W, k) * (1.0 / q), PROB_FLOOR)
+                     for k in n2e], axis=1)
+            return jnp.concatenate(
+                [jnp.log(jnp.maximum(grp(W, k) * (1.0 / q), PROB_FLOOR))
+                 for k in n2e], axis=1)
 
         def hard_of(post2):
             """[N, q*TB] -> natural symbols [N, TB] f32; descending-symbol
@@ -722,43 +738,53 @@ class ResidentQSPAFL(ResidentQSPA):
                 [jnp.ones((1, TB), jnp.float32),
                  jnp.zeros((1, (q - 1) * TB), jnp.float32)], axis=1)
 
+        post_ref[...] = prior
+
         def body(carry):
-            post2, hardf, done, iters = carry
+            # post lives in the post_ref scratch (like lC): the loop carry
+            # holds only the small per-frame stats, so the fori_loop moves
+            # no full-tensor state between iterations
+            hardf, done, iters = carry
             if "route" in self.ablate:
                 Ve = lc_ref[...] * jnp.asarray(1.0, mdt)
             else:
-                Ve = route_down(post2) - lc_ref[...]
-            Ux = softmax_q(rotate(Ve, RBd))
+                Ve = route_down(post_ref[...]) - lc_ref[...]
+            # softmax emits in NAT order (exp->nat regroup folded into its
+            # output concat); cn_update returns exp order (regroup folded
+            # into its final log concat)
+            Ux = softmax_q(rotate(Ve, RBd), order=e2n)
             if self.has_pads2:
+                # nat-order group 0 is symbol 0 — same delta pattern
                 Ux = Ux * real + d0 * (1.0 - real)
             lc_ref[...] = rotate(cn_update(Ux).astype(mdt), RBu)
             if "route" in self.ablate:
                 s = jnp.sum(lc_ref[...], axis=0).reshape(1, q * TB)
-                post_new = prior + (s * jnp.asarray(1e-9, mdt)).astype(mdt)
+                post_ref[...] = prior + (
+                    s * jnp.asarray(1e-9, mdt)).astype(mdt)
             else:
-                post_new = route_up()
+                post_ref[...] = route_up()
             if not self.stats_each_iter:
-                return (post_new, hardf, done, iters + (1.0 - done))
-            hard_new = hard_of(post_new)
+                return (hardf, done, iters + (1.0 - done))
+            hard_new = hard_of(post_ref[...])
             done_new = syndrome_ok(hard_new)
             hardf2 = jnp.where(done > 0.5, hardf, hard_new)
             iters2 = iters + (1.0 - done)
             done2 = jnp.maximum(done, done_new)
-            return (post_new, hardf2, done2, iters2)
+            return (hardf2, done2, iters2)
 
-        carry = (prior, hard0, done0, iters0)
+        carry = (hard0, done0, iters0)
         if self.early_term:
             def cond_body(i, carry):
-                alldone = jnp.min(carry[2]) > 0.5
+                alldone = jnp.min(carry[1]) > 0.5
                 return jax.lax.cond(alldone, lambda c: c, body, carry)
             carry = jax.lax.fori_loop(0, self.max_iters, cond_body, carry)
         else:
             carry = jax.lax.fori_loop(0, self.max_iters,
                                       lambda i, c: body(c), carry)
 
-        post_f, hardf, done, iters = carry
+        hardf, done, iters = carry
         if not self.stats_each_iter:
-            hardf = hard_of(post_f)
+            hardf = hard_of(post_ref[...])
             done = syndrome_ok(hardf)
         hard_ref[...] = hardf.astype(jnp.int32)            # [N, TB]
         stats_ref[...] = jnp.concatenate(
@@ -813,6 +839,7 @@ class ResidentQSPAFL(ResidentQSPA):
             ),
             scratch_shapes=[
                 pltpu.VMEM((self.e2, q * tb), self.mm_dtype),
+                pltpu.VMEM((n, q * tb), self.mm_dtype),
             ],
             # the default scoped-vmem limit is 16M; the full-tensor peak
             # (lC scratch + spectra + posterior + double-buffered input)
@@ -828,7 +855,8 @@ class ResidentQSPAFL(ResidentQSPA):
 
 def get_resident_decoder(graph: TannerGraph, max_iters: int, early_term: bool,
                          stats_each_iter: bool = True,
-                         mm_dtype=jnp.float32, wht_impl: str = "vpu"):
+                         mm_dtype=jnp.float32, wht_impl: str = "vpu",
+                         layout: str = "fl"):
     """Build (and cache on the graph) a ResidentQSPA for this config.
 
     stats_each_iter=True (default) keeps fixed-budget semantics identical to
@@ -837,13 +865,14 @@ def get_resident_decoder(graph: TannerGraph, max_iters: int, early_term: bool,
     then reports max_iters (BASELINE.json fixed-50-iter throughput mode).
     """
     key = ("resident", max_iters, early_term, stats_each_iter,
-           jnp.dtype(mm_dtype).name, wht_impl)
+           jnp.dtype(mm_dtype).name, wht_impl, layout)
     cache = getattr(graph, "_resident_cache", None)
     if cache is None:
         cache = {}
         graph._resident_cache = cache
+    cls = ResidentQSPAFL if layout == "fl" else ResidentQSPA
     if key not in cache:
-        cache[key] = ResidentQSPA(graph, max_iters, early_term,
-                                  stats_each_iter=stats_each_iter,
-                                  mm_dtype=mm_dtype, wht_impl=wht_impl)
+        cache[key] = cls(graph, max_iters, early_term,
+                         stats_each_iter=stats_each_iter,
+                         mm_dtype=mm_dtype, wht_impl=wht_impl)
     return cache[key]

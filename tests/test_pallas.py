@@ -140,6 +140,47 @@ def test_resident_kernel_device_statistical():
 
 
 @pytest.mark.tpu
+def test_resident_fl_kernel_device_exact_vs_cl():
+    """On-device frames-on-lanes K0 (the round-4 dispatch default for
+    128-multiple batches) vs the checks-on-lanes kernel: the two layouts
+    compute fp-identical arithmetic (same association order everywhere), so
+    hard/done/iters must agree EXACTLY on the real chip as they do in
+    interpret mode."""
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA, ResidentQSPAFL
+
+    spec = make_peg_code(204, 102, 16, dv=2, seed=1)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 256, 2.0, seed=5)
+    d_cl = ResidentQSPA(g, max_iters=20, early_term=True)
+    d_fl = ResidentQSPAFL(g, max_iters=20, early_term=True)
+    h0, dn0, it0 = jax.jit(lambda x: d_cl(x, tb=64))(llr)
+    h1, dn1, it1 = jax.jit(lambda x: d_fl(x, tb=128))(llr)
+    assert bool(jnp.all(dn0 == dn1))
+    assert bool(jnp.all(it0 == it1))
+    # device reductions may associate differently than the unrolled scans;
+    # require near-perfect agreement, exact on converged frames
+    both = np.array(dn0) & np.array(dn1)
+    assert np.mean(np.array(h0)[both] == np.array(h1)[both]) > 0.9999
+    assert np.mean(np.array(h0) == np.array(h1)) > 0.999
+
+
+@pytest.mark.tpu
+def test_resident_fl_kernel_gf4_device():
+    """GF(4) on-device: the config the old layout served worst (M=48 ->
+    128-lane pad = 2.7x waste). Statistical agreement with the XLA path."""
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPAFL
+
+    spec = make_peg_code(96, 48, 4, dv=2, seed=1)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 256, 2.5, seed=7)
+    ref = qspa.decode(g, llr, max_iters=20, early_term=True, cn_impl="xla")
+    dec = ResidentQSPAFL(g, max_iters=20, early_term=True)
+    hard, done, iters = jax.jit(lambda x: dec(x, tb=128))(llr)
+    assert np.mean(np.array(ref.hard) == np.array(hard)) > 0.99
+    assert np.mean(np.array(ref.done) == np.array(done)) > 0.99
+
+
+@pytest.mark.tpu
 def test_cn_kernel_device_matches_xla():
     spec = make_peg_code(204, 102, 16, dv=2, seed=1)
     g = TannerGraph(spec)
