@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--layout", default="cl",
                     help="comma list of cl (checks-on-lanes, round-2/3) "
                          "and/or fl (frames-on-lanes, round 4)")
+    ap.add_argument("--decoder", default="qspa",
+                    help="qspa | ems (resident EMS, untruncated nm=q; "
+                         "layout/wht args are ignored)")
     ap.add_argument("--ablate", default="",
                     help="comma-of-semicolon list, e.g. ';rot;wht;route'")
     args = ap.parse_args()
@@ -46,6 +49,9 @@ def main():
     key = jax.random.PRNGKey(0)
     llr = jax.random.normal(key, (B, spec.n, spec.q), jnp.float32) * 4.0
 
+    if args.decoder == "ems":
+        from nbldpc_tpu.kernels.ems_resident import ResidentEMS
+
     for layout in args.layout.split(","):
       cls = ResidentQSPAFL if layout == "fl" else ResidentQSPA
       for ab in args.ablate.split(";"):
@@ -56,9 +62,14 @@ def main():
             if B % tb:
                 continue
             try:
-                dec = cls(graph, args.iters, early_term=False,
-                          stats_each_iter=False, mm_dtype=mmdt,
-                          wht_impl=wht, ablate=ab)
+                if args.decoder == "ems":
+                    dec = ResidentEMS(graph, args.iters, nm=spec.q,
+                                      early_term=False,
+                                      stats_each_iter=False, mm_dtype=mmdt)
+                else:
+                    dec = cls(graph, args.iters, early_term=False,
+                              stats_each_iter=False, mm_dtype=mmdt,
+                              wht_impl=wht, ablate=ab)
                 fn = jax.jit(lambda x, d=dec, t=tb: d(x, tb=t))
                 jax.block_until_ready(fn(llr))
                 # Time PIPELINED pairs (queue 2, block once): under the axon
@@ -73,7 +84,7 @@ def main():
                 best = min(times)
                 med = sorted(times)[len(times) // 2]
                 print(json.dumps({
-                    "variant": f"resident_{layout}_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
+                    "variant": f"resident_{args.decoder}_{layout}_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
                     "sym_per_s_best": round(B * spec.n / best, 1),
                     "sym_per_s_median": round(B * spec.n / med, 1),
                     "step_ms_best": round(best * 1e3, 2),
@@ -81,7 +92,7 @@ def main():
                 }), flush=True)
             except Exception as e:  # noqa: BLE001 — report and keep sweeping
                 print(json.dumps({
-                    "variant": f"resident_{layout}_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
+                    "variant": f"resident_{args.decoder}_{layout}_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
                     "error": f"{type(e).__name__}: {str(e)[:300]}",
                 }), flush=True)
 

@@ -267,11 +267,22 @@ def decode(
     batch_last=True uses the TPU-fast lane layout; use_pallas selects the
     fused K2 check-node kernel ("auto" = on TPU only)."""
     if batch_last:
-        from nbldpc_tpu.decoders.qspa import _on_tpu
+        from nbldpc_tpu.decoders.qspa import _on_tpu, _resident_tile
 
         if use_pallas == "auto":
             use_pallas = "yes" if _on_tpu() else "no"
         if use_pallas == "yes":
+            # whole-decode resident kernel (K0-EMS) when it applies: q <= 32
+            # untruncated (nm >= q, the BASELINE GF(16) nm=16 config) on a
+            # frames-on-lanes-capable batch. nm < q keeps the K2 pipeline.
+            layout, tb = _resident_tile(llr.shape[0])
+            if graph.q <= 32 and nm >= graph.q and layout == "fl":
+                from nbldpc_tpu.kernels.ems_resident import get_resident_ems
+
+                dec = get_resident_ems(graph, max_iters, nm, offset,
+                                       early_term)
+                hard, done, iters = dec(llr, tb=tb)
+                return common.DecodeResult(hard=hard, done=done, iters=iters)
             from nbldpc_tpu.kernels.cn_ems import ems_cn_update_bl_pallas
 
             cn = functools.partial(

@@ -139,6 +139,71 @@ def test_resident_kernel_device_statistical():
     assert np.mean(np.array(ref.done) == np.array(done)) > 0.99
 
 
+@pytest.mark.parametrize("q,n,m", [(4, 12, 6), (16, 16, 8)])
+def test_resident_ems_interpret_matches_xla(q, n, m):
+    """K0-EMS resident decoder is frame-exact vs the XLA batch-last EMS
+    path on dv=2 codes (same merge association, normalization points and
+    tie-breaks; dv>2 differs only in posterior fp-sum order)."""
+    from nbldpc_tpu.decoders import ems
+    from nbldpc_tpu.kernels.ems_resident import ResidentEMS
+
+    spec = make_peg_code(n, m, q, dv=2, seed=3)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 24, 3.0, seed=11)
+    ref = ems.decode(g, llr, max_iters=8, nm=q, early_term=True,
+                     use_pallas="no")
+    dec = ResidentEMS(g, 8, nm=q, early_term=True)
+    h1, dn1, it1 = dec(llr, tb=24, interpret=True)
+    assert bool(jnp.all(ref.hard == h1))
+    assert bool(jnp.all(ref.done == dn1))
+    assert bool(jnp.all(ref.iters == it1))
+
+
+def test_resident_ems_interpret_offset_and_throughput_mode(small_codes):
+    """Offset correction flows through, and the fixed-budget throughput
+    mode returns the same hard decisions as the bookkeeping mode."""
+    from nbldpc_tpu.decoders import ems
+    from nbldpc_tpu.kernels.ems_resident import ResidentEMS
+
+    spec = make_peg_code(16, 8, 16, dv=2, seed=3)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 24, 3.0, seed=12)
+    ref = ems.decode(g, llr, max_iters=6, nm=16, offset=0.3,
+                     early_term=False, use_pallas="no")
+    d1 = ResidentEMS(g, 6, nm=16, offset=0.3, early_term=False)
+    d2 = ResidentEMS(g, 6, nm=16, offset=0.3, early_term=False,
+                     stats_each_iter=False)
+    h1, dn1, it1 = d1(llr, tb=24, interpret=True)
+    h2, dn2, it2 = d2(llr, tb=24, interpret=True)
+    assert bool(jnp.all(ref.hard == h1))
+    assert bool(jnp.all(ref.done == dn1))
+    assert bool(jnp.all(h1 == h2))
+
+
+@pytest.mark.tpu
+def test_resident_ems_device_exact_vs_xla():
+    """On-device K0-EMS vs the XLA EMS path at the BASELINE GF(16) nm=16
+    config. Interpret mode is bit-exact; on device the posterior GEMM's
+    MXU f32 emulation (bf16 multi-pass) rounds the dv-edge sum slightly
+    differently than XLA's elementwise adds (~2^-16 relative), which can
+    shift a rare frame's convergence iteration — hard/done must still
+    agree near-perfectly and iters within one on >=99% of frames."""
+    from nbldpc_tpu.decoders import ems
+    from nbldpc_tpu.kernels.ems_resident import ResidentEMS
+
+    spec = make_peg_code(204, 102, 16, dv=2, seed=1)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 256, 2.5, seed=5)
+    ref = ems.decode(g, llr, max_iters=10, nm=16, early_term=True,
+                     use_pallas="no")
+    dec = ResidentEMS(g, 10, nm=16, early_term=True)
+    hard, done, iters = jax.jit(lambda x: dec(x, tb=128))(llr)
+    assert np.mean(np.array(ref.hard) == np.array(hard)) > 0.999
+    assert np.mean(np.array(ref.done) == np.array(done)) > 0.99
+    di = np.abs(np.array(ref.iters) - np.array(iters))
+    assert np.mean(di <= 1) > 0.99
+
+
 @pytest.mark.tpu
 def test_resident_fl_kernel_device_exact_vs_cl():
     """On-device frames-on-lanes K0 (the round-4 dispatch default for
