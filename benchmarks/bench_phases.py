@@ -11,8 +11,15 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nbldpc_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# CPU-only compile cache: under the axon remote-compile service the
+# persistent cache inflates compiles from seconds to minutes (bench.py
+# carries the same warning), so only enable it when forced onto CPU.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nbldpc_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -38,9 +45,14 @@ def main():
     from nbldpc_tpu.graph import TannerGraph
     from nbldpc_tpu.kernels.cn_qspa import cn_update_pallas
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--code", default="gf16_n204_k102")
+    ap.add_argument("--batch", type=int, default=0)
+    args = ap.parse_args()
     on_tpu = jax.devices()[0].platform != "cpu"
-    B = 4096 if on_tpu else 32
-    spec = build_standard_code("gf16_n204_k102")
+    B = args.batch or (4096 if on_tpu else 32)
+    spec = build_standard_code(args.code)
     g = TannerGraph(spec)
     q, M, N, dc, dv = g.q, g.m, g.n, g.dc_max, g.dv_max
     key = jax.random.PRNGKey(0)

@@ -239,6 +239,7 @@ def run_sweep(
         if resumed is not None:
             start_t, counters = resumed
 
+    sigma_np = np.asarray(sigmas)
     t0 = time.perf_counter()
     t = start_t
     while True:
@@ -247,8 +248,30 @@ def run_sweep(
         )
         if bool(np.all(done)):
             break
-        out = step(jax.random.fold_in(key0, t), sigmas)
-        counters.add(jax.device_get(out))
+        # SNR points that hit their stop rule release their batch slots to
+        # the still-active points (SURVEY C13): sigma is per-slot DATA, so
+        # remapping costs no recompile, and the slot->point assignment is a
+        # deterministic function of the counters (active points ordered by
+        # frames served, filled round-robin) — results stay reproducible
+        # and mesh-shape-invariant for a given stop-rule trajectory.
+        slot_point = np.arange(S)
+        n_done = int(done.sum())
+        if 0 < n_done < S:
+            active = np.flatnonzero(~done)
+            order = active[np.argsort(counters.frames[active], kind="stable")]
+            for k, s in enumerate(np.flatnonzero(done)):
+                slot_point[s] = order[k % len(order)]
+        out = step(jax.random.fold_in(key0, t),
+                   jnp.asarray(sigma_np[slot_point]))
+        o = jax.device_get(out)
+        if n_done:
+            remapped = {}
+            for name, arr in o.items():
+                acc = np.zeros(S, np.int64)
+                np.add.at(acc, slot_point, np.asarray(arr, np.int64))
+                remapped[name] = acc
+            o = remapped
+        counters.add(o)
         t += 1
         if progress:
             progress(t, counters)

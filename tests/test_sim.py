@@ -69,6 +69,33 @@ def test_frame_error_stop(tiny_run_cfg):
     assert res.steps <= 3
 
 
+def test_finished_snr_slots_reallocated(tiny_run_cfg):
+    """When an SNR point hits its stop rule, its batch slots serve the
+    still-active points (SURVEY C13): total decoded frames stay steps*S*B,
+    the finished point stops accumulating, and the run stays
+    deterministic."""
+    cfg = dataclasses.replace(
+        tiny_run_cfg,
+        # heavy noise at point 0 -> it hits max_frame_errors within a step
+        # or two; point 1 needs max_frames
+        sim=dataclasses.replace(
+            tiny_run_cfg.sim, max_frames=96, max_frame_errors=2,
+            frames_per_step=16),
+        channel=ChannelConfig(ebn0_db=(-3.0, 6.0)),
+    )
+    res = sim.run_sweep(cfg)
+    S, B = 2, 16
+    assert int(res.counters.frames.sum()) == res.steps * S * B
+    # the noisy point stopped early; its released slots accelerated the
+    # clean point past what its own slot alone would have served
+    assert res.counters.frames[0] < res.counters.frames[1]
+    assert res.counters.frames[1] >= 96
+    r2 = sim.run_sweep(cfg)
+    np.testing.assert_array_equal(res.counters.frames, r2.counters.frames)
+    np.testing.assert_array_equal(
+        res.counters.symbol_errors, r2.counters.symbol_errors)
+
+
 def test_random_codeword_mode(tiny_run_cfg):
     cfg = dataclasses.replace(
         tiny_run_cfg,
