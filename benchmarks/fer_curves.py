@@ -30,15 +30,18 @@ SWEEPS = [
      [1.5, 2.0, 2.5, 3.0], 2048),
     ("gf16_qspa_50it", "gf16_n204_k102", dict(kind="qspa", max_iters=50),
      [1.0, 1.5, 2.0, 2.5], 4096),
+    # EMS/T-EMS offsets from benchmarks/results/offset_sweep_r4.json
+    # (round-4 sweep at each config's mid-waterfall SNR)
     ("gf16_ems_nm16_20it", "gf16_n204_k102",
-     dict(kind="ems", nm=16, max_iters=20),
+     dict(kind="ems", nm=16, max_iters=20, offset=0.3),
      [1.0, 1.5, 2.0, 2.5], 1024),
-    ("gf64_tems_20it", "gf64_n576_k480", dict(kind="tems", max_iters=20),
+    ("gf64_tems_20it", "gf64_n576_k480",
+     dict(kind="tems", max_iters=20, offset=2.0),
      [2.5, 3.0, 3.5, 4.0], 256),
     ("gf256_qspa_10it", "gf256_n255_k175", dict(kind="qspa", max_iters=10),
      [2.0, 2.5, 3.0], 128),
     ("gf256_ems_nm16_10it", "gf256_n255_k175",
-     dict(kind="ems", nm=16, max_iters=10),
+     dict(kind="ems", nm=16, max_iters=10, offset=0.1),
      [2.0, 2.5, 3.0], 128),
 ]
 

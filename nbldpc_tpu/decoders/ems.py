@@ -261,6 +261,7 @@ def decode(
     early_term: bool = True,
     batch_last: bool = True,
     use_pallas: str = "auto",
+    stats_each_iter: bool = True,
 ) -> common.DecodeResult:
     """EMS decode of a batch: llr [B, N, q] -> DecodeResult.
 
@@ -280,7 +281,8 @@ def decode(
                 from nbldpc_tpu.kernels.ems_resident import get_resident_ems
 
                 dec = get_resident_ems(graph, max_iters, nm, offset,
-                                       early_term)
+                                       early_term,
+                                       stats_each_iter=stats_each_iter)
                 hard, done, iters = dec(llr, tb=tb)
                 return common.DecodeResult(hard=hard, done=done, iters=iters)
             from nbldpc_tpu.kernels.cn_ems import ems_cn_update_bl_pallas
@@ -290,6 +292,7 @@ def decode(
             )
         else:
             cn = functools.partial(ems_cn_update_bl, nm=nm, offset=offset)
-        return common.decode_bl(graph, llr, cn, max_iters, early_term)
+        return common.decode_bl(graph, llr, cn, max_iters, early_term,
+                                stats_each_iter=stats_each_iter)
     cn = functools.partial(ems_cn_update, nm=nm, offset=offset)
     return common.decode(graph, llr, cn, max_iters, early_term)

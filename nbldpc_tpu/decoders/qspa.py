@@ -163,5 +163,6 @@ def decode(
             hard, done, iters = dec(llr, tb=tb)
             return common.DecodeResult(hard=hard, done=done, iters=iters)
         cn = qspa_cn_update_bl_pallas if impl == "pallas" else qspa_cn_update_bl
-        return common.decode_bl(graph, llr, cn, max_iters, early_term)
+        return common.decode_bl(graph, llr, cn, max_iters, early_term,
+                                stats_each_iter=stats_each_iter)
     return common.decode(graph, llr, qspa_cn_update, max_iters, early_term)

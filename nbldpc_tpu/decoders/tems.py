@@ -180,10 +180,13 @@ def decode(
     early_term: bool = True,
     batch_last: bool = True,
     use_pallas: str = "auto",
+    stats_each_iter: bool = True,
 ) -> common.DecodeResult:
     """T-EMS decode of a batch: llr [B, N, q] -> DecodeResult.
 
-    use_pallas selects the fused check-node kernel ("auto" = on TPU only)."""
+    use_pallas selects the fused check-node kernel ("auto" = on TPU only);
+    stats_each_iter=False is the fixed-budget throughput mode (see
+    common.decode_bl)."""
     if batch_last:
         from nbldpc_tpu.decoders.qspa import _on_tpu
 
@@ -195,6 +198,7 @@ def decode(
             cn = functools.partial(tems_cn_update_bl_pallas, offset=offset)
         else:
             cn = functools.partial(tems_cn_update_bl, offset=offset)
-        return common.decode_bl(graph, llr, cn, max_iters, early_term)
+        return common.decode_bl(graph, llr, cn, max_iters, early_term,
+                                stats_each_iter=stats_each_iter)
     cn = functools.partial(tems_cn_update, offset=offset)
     return common.decode(graph, llr, cn, max_iters, early_term)
