@@ -33,7 +33,7 @@ CONFIGS = [
     ("gf16_qspa_50it", "gf16_n204_k102", dict(kind="qspa"), 50, 4096, 1),
     ("gf16_qspa_50it_bf16", "gf16_n204_k102",
      dict(kind="qspa", mm_precision="bf16"), 50, 4096, 1),
-    ("gf16_ems_nm16_20it", "gf16_n204_k102", dict(kind="ems", nm=16), 20, 1024, 1),
+    ("gf16_ems_nm16_20it", "gf16_n204_k102", dict(kind="ems", nm=16), 20, 8192, 1),
     ("gf64_tems_20it", "gf64_n576_k480", dict(kind="tems"), 20, 256, 1),
     ("gf256_qspa_10it", "gf256_n255_k175", dict(kind="qspa"), 10, 128, 1),
     ("gf256_ems_nm16_10it", "gf256_n255_k175", dict(kind="ems", nm=16), 10, 128, 1),
