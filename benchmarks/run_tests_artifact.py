@@ -27,10 +27,12 @@ REPO = Path(__file__).resolve().parent.parent
 
 def run_suite(name: str, args: list, env_extra: dict, timeout: int) -> dict:
     env = dict(os.environ, **env_extra)
+    xml = REPO / "benchmarks" / "results" / f".tests_{name}.xml"
     t0 = time.time()
     try:
         proc = subprocess.run(
-            [sys.executable, "-m", "pytest", *args],
+            [sys.executable, "-m", "pytest", *args,
+             f"--junitxml={xml}"],
             cwd=REPO, env=env, capture_output=True, text=True,
             timeout=timeout,
         )
@@ -40,16 +42,27 @@ def run_suite(name: str, args: list, env_extra: dict, timeout: int) -> dict:
         out = (e.stdout or "") + (e.stderr or "")
         rc = -1
     wall = round(time.time() - t0, 1)
+    # junitxml is written before interpreter exit, so it survives the
+    # pytest-exits-without-summary quirk this box shows (atexit crash)
     counts = {}
-    # pytest summary like "12 passed, 3 skipped, 1 failed in 5.00s"
-    for num, word in re.findall(r"(\d+) (passed|failed|skipped|error)", out):
-        counts[word] = counts.get(word, 0) + int(num)
-    # this box's pytest sometimes exits without the summary line (known
-    # atexit quirk) — fall back to the per-test progress characters
-    if not counts and rc == 0:
-        counts = {"note": "no summary line; rc==0"}
+    if xml.exists():
+        import xml.etree.ElementTree as ET
+
+        suite = ET.parse(xml).getroot().find("testsuite")
+        a = suite.attrib
+        total = int(a.get("tests", 0))
+        err = int(a.get("errors", 0))
+        fail = int(a.get("failures", 0))
+        skip = int(a.get("skipped", 0))
+        counts = {"passed": total - err - fail - skip, "failed": fail,
+                  "errors": err, "skipped": skip}
+        xml.unlink()
+    else:
+        for num, word in re.findall(
+                r"(\d+) (passed|failed|skipped|error)", out):
+            counts[word] = counts.get(word, 0) + int(num)
     rec = {"suite": name, "rc": rc, "wall_s": wall, **counts}
-    if rc not in (0, 5) and "failed" not in counts:
+    if rc not in (0, 5) and not counts.get("failed"):
         rec["tail"] = out[-1500:]
     print(json.dumps(rec), flush=True)
     return rec
@@ -79,7 +92,8 @@ def main():
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "suites": records,
         "all_green": all(
-            r["rc"] in (0, 5) and not r.get("failed") for r in records),
+            r["rc"] in (0, 5) and not r.get("failed") and
+            not r.get("errors") for r in records),
     }
     outdir = REPO / "benchmarks" / "results"
     outdir.mkdir(exist_ok=True)

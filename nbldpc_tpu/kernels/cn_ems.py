@@ -96,6 +96,18 @@ def _cn_kernel(u_ref, out_ref, *, q: int, nm: int, offset: float,
     out_ref[...] = _postprocess(jnp.stack(outs, axis=1), offset, axis=2)
 
 
+# Scoped-VMEM budget for tile sizing. The chip has >=120 MiB of physical
+# VMEM (probed round 4 — a 120 MiB scratch compiles and runs), so the
+# budget is a TUNING choice, not a hard wall: a 48 MiB budget was measured
+# WORSE on device (GF(256) QSPA 1.58e6 -> 1.25e6 sym/s, EMS compile
+# 23 s -> 109 s — bigger blocks stretch the unrolled Gray/WHT chains past
+# what Mosaic schedules well). 12 MiB keeps the round-3-tuned tile shapes;
+# the explicit vmem_limit below only de-risks models that run slightly
+# over the 16 MiB compiler default.
+VMEM_BUDGET = 12 * 1024 * 1024
+VMEM_LIMIT = 64 * 1024 * 1024
+
+
 def _pick_tile(n: int, target: int) -> int:
     """Largest divisor of n that is <= target (>=1)."""
     for t in range(min(n, target), 0, -1):
@@ -151,14 +163,14 @@ def ems_cn_update_bl_pallas(
     # model) and the sublane axis to a multiple of 8
     tb_pad = max(128, TB)
     row_bytes = live * dc * (-(-q // 8) * 8) * tb_pad * 4 // TB
-    tm_target = int(12 * 1024 * 1024 / (row_bytes * TB))
+    tm_target = int(VMEM_BUDGET / (row_bytes * TB))
     if tm_target < 1:
         # even a single M-row overflows at this TB — shrink the batch tile
         # (measured on device: [1,7,256,256] blocks put 18.4M on the stack).
         # Floor the target at 128: below that _pick_lane_tile finds no
         # 128-multiple divisor and would return the WHOLE axis, yielding a
         # strictly larger block than the one that already overflowed.
-        TB = _pick_lane_tile(B, max(128, int(12 * 1024 * 1024 / row_bytes)))
+        TB = _pick_lane_tile(B, max(128, int(VMEM_BUDGET / row_bytes)))
         tm_target = 1
     TM = _pick_tile(M, tm_target)
     grid = (M // TM, B // TB)
@@ -172,5 +184,6 @@ def ems_cn_update_bl_pallas(
         grid=grid,
         in_specs=[spec],
         out_specs=spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(U)

@@ -86,9 +86,10 @@ def cn_update_pallas(U: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     # (measured on device: 24.8 M stack for a [1,7,256,512] block = ~7
     # arrays, OOM) — bound TM*TB so 8 blocks fit in 12 MiB, shrinking TB
     # too when even a single-row block would blow the budget (large q*dc).
-    from nbldpc_tpu.kernels.cn_ems import _pick_lane_tile
+    from nbldpc_tpu.kernels.cn_ems import (
+        VMEM_BUDGET, VMEM_LIMIT, _pick_lane_tile)
 
-    budget_elems = max(1, (12 * 1024 * 1024) // (8 * dc * q * 4))
+    budget_elems = max(1, VMEM_BUDGET // (8 * dc * q * 4))
     # floor at 128: a sub-128 target makes _pick_lane_tile return the whole
     # axis (no 128-multiple divisor <= target), defeating the VMEM bound
     TB = _pick_lane_tile(B, max(128, min(512, budget_elems)))
@@ -104,5 +105,6 @@ def cn_update_pallas(U: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
         grid=grid,
         in_specs=[spec],
         out_specs=spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(U)

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nbldpc_tpu.decoders.tems import _cn_tems_core
 from nbldpc_tpu.kernels.cn_ems import (
-    _pick_lane_tile, _pick_tile, _xor_take_auto,
+    VMEM_BUDGET, VMEM_LIMIT, _pick_lane_tile, _pick_tile, _xor_take_auto,
 )
 
 
@@ -64,12 +64,12 @@ def tems_cn_update_bl_pallas(
     # sublanes as a multiple of 8 — see cn_ems.py)
     tb_pad = max(128, TB)
     row_bytes = live * dc * (-(-q // 8) * 8) * tb_pad * 4 // TB
-    tm_target = int(12 * 1024 * 1024 / (row_bytes * TB))
+    tm_target = int(VMEM_BUDGET / (row_bytes * TB))
     if tm_target < 1:
         # even a single M-row overflows at this TB — shrink the batch tile
         # (target floored at 128: below that _pick_lane_tile returns the
         # whole axis, a strictly LARGER block — see cn_ems.py)
-        TB = _pick_lane_tile(B, max(128, int(12 * 1024 * 1024 / row_bytes)))
+        TB = _pick_lane_tile(B, max(128, int(VMEM_BUDGET / row_bytes)))
         tm_target = 1
     TM = _pick_tile(M, tm_target)
     grid = (M // TM, B // TB)
@@ -82,5 +82,6 @@ def tems_cn_update_bl_pallas(
         grid=grid,
         in_specs=[spec],
         out_specs=spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(U)
