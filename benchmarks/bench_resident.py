@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--layout", default="cl",
                     help="comma list of cl (checks-on-lanes, round-2/3) "
                          "and/or fl (frames-on-lanes, round 4)")
+    ap.add_argument("--rot", default="b2", help="comma list: b2,b4 (FL only)")
     ap.add_argument("--decoder", default="qspa",
                     help="qspa | ems (resident EMS, untruncated nm=q; "
                          "layout/wht args are ignored)")
@@ -54,9 +55,10 @@ def main():
 
     for layout in args.layout.split(","):
       cls = ResidentQSPAFL if layout == "fl" else ResidentQSPA
-      for ab in args.ablate.split(";"):
-       for wht in args.wht.split(","):
-        for dt_name in args.dtypes.split(","):
+      for rot in args.rot.split(","):
+       for ab in args.ablate.split(";"):
+        for wht in args.wht.split(","):
+         for dt_name in args.dtypes.split(","):
           mmdt = jnp.bfloat16 if dt_name == "bf16" else jnp.float32
           for tb in (int(t) for t in args.tiles.split(",")):
             if B % tb:
@@ -69,7 +71,7 @@ def main():
                 else:
                     dec = cls(graph, args.iters, early_term=False,
                               stats_each_iter=False, mm_dtype=mmdt,
-                              wht_impl=wht, ablate=ab)
+                              wht_impl=wht, ablate=ab, rot_impl=rot)
                 fn = jax.jit(lambda x, d=dec, t=tb: d(x, tb=t))
                 jax.block_until_ready(fn(llr))
                 # Time PIPELINED pairs (queue 2, block once): under the axon
@@ -84,7 +86,7 @@ def main():
                 best = min(times)
                 med = sorted(times)[len(times) // 2]
                 print(json.dumps({
-                    "variant": f"resident_{args.decoder}_{layout}_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
+                    "variant": f"resident_{args.decoder}_{layout}_{rot}_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
                     "sym_per_s_best": round(B * spec.n / best, 1),
                     "sym_per_s_median": round(B * spec.n / med, 1),
                     "step_ms_best": round(best * 1e3, 2),
@@ -92,7 +94,7 @@ def main():
                 }), flush=True)
             except Exception as e:  # noqa: BLE001 — report and keep sweeping
                 print(json.dumps({
-                    "variant": f"resident_{args.decoder}_{layout}_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
+                    "variant": f"resident_{args.decoder}_{layout}_{rot}_{wht}_{dt_name}_tb{tb}" + (f"_no-{ab}" if ab else ""),
                     "error": f"{type(e).__name__}: {str(e)[:300]}",
                 }), flush=True)
 

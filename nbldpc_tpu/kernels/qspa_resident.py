@@ -61,9 +61,12 @@ class ResidentQSPA:
 
     def __init__(self, graph: TannerGraph, max_iters: int, early_term: bool = True,
                  stats_each_iter: bool = True, mm_dtype=jnp.float32,
-                 wht_impl: str = "vpu", ablate: str = ""):
+                 wht_impl: str = "vpu", ablate: str = "", rot_impl: str = "b2"):
         if graph.q > 32:
             raise ValueError("resident kernel supports q <= 32 (use XLA path)")
+        # rot_impl: "b2" = binary conditional-roll rotation stages; "b4" =
+        # radix-4 digits, half the stages at 4-way blends (FL kernel only)
+        self.rot_impl = rot_impl
         self.graph = graph
         self.max_iters = int(max_iters)
         self.early_term = bool(early_term)
@@ -545,6 +548,23 @@ class ResidentQSPAFL(ResidentQSPA):
         for j in range(dc):
             real[j * Mp:j * Mp + m, 0] = cn_mask[:, j]
         self.real2 = real
+        # radix-4 rotation digits (rot_impl="b4"): one-hot masks per base-4
+        # digit of the rotation amount — 2 blend stages instead of 4 for
+        # q=16, halving the rotation's write passes (ROOFLINE.md item 2)
+        self.rot_digits = (self.rot_bits + 1) // 2
+
+        def digits4(r):
+            out = np.zeros((self.rot_digits, 3, E2, 1), np.float32)
+            for i in range(self.rot_digits):
+                dig = (r >> (2 * i)) & 3
+                for v in (1, 2, 3):
+                    for j in range(dc):
+                        out[i, v - 1, j * Mp:j * Mp + m, 0] = (
+                            dig[:, j] == v)
+            return out
+
+        self.r4_down = digits4(r_down)
+        self.r4_up = digits4(r_up)
         # irregular-code pad slots need the delta0 fix (spectrum = ones);
         # structural pad rows (mi >= m) are row-aligned garbage that the
         # up-route's zero rows ignore, so they alone don't require it
@@ -556,7 +576,11 @@ class ResidentQSPAFL(ResidentQSPA):
     # ---- kernel body (2D frames-on-lanes) -------------------------------
 
     def _kernel(self, llr_ref, wd_ref, rbd_ref, rbu_ref, real_ref, synk_ref,
-                hard_ref, stats_ref, lc_ref, post_ref):
+                *rest):
+        if self.rot_impl == "b4":
+            r4d_ref, r4u_ref, hard_ref, stats_ref, lc_ref, post_ref = rest
+        else:
+            hard_ref, stats_ref, lc_ref, post_ref = rest
         q, n, m, dc, p = self.q, self.n, self.m, self.dc, self.p
         Mp, E2 = self.m_pad, self.e2
         TB = llr_ref.shape[2]
@@ -606,12 +630,35 @@ class ResidentQSPAFL(ResidentQSPA):
             r = dotg(Wd, lc_ref[...], ((0,), (0,)))
             return prior + r.astype(mdt)
 
+        if self.rot_impl == "b4":
+            R4d = r4d_ref[...]                         # [ndig, 3, E2, 1]
+            R4u = r4u_ref[...]
+
         def rotate(X, RB):
-            """Exp-order GF rotation of lane groups 1..q-1, per-row bits."""
+            """Exp-order GF rotation of lane groups 1..q-1, per-row bits
+            (binary conditional rolls), or per-row radix-4 digits: half the
+            stages, 4-way one-hot blends — exact either way (every product
+            has a 0.0/1.0 operand and the masks are one-hot)."""
             if "rot" in self.ablate:
                 return X
             Z = X[:, TB:]
             one = jnp.asarray(1.0, X.dtype)
+            if self.rot_impl == "b4":
+                D = R4d if RB is RBd else R4u
+                for i in range(self.rot_digits):
+                    dv = [D[i, v - 1].astype(X.dtype) for v in (1, 2, 3)]
+                    acc = Z * (one - dv[0] - dv[1] - dv[2])
+                    for v in (1, 2, 3):
+                        s = (v << (2 * i)) % L
+                        if s == 0:
+                            rolled = Z
+                        else:
+                            cut = (L - s) * TB
+                            rolled = jnp.concatenate(
+                                [Z[:, cut:], Z[:, :cut]], axis=1)
+                        acc = acc + rolled * dv[v - 1]
+                    Z = acc
+                return jnp.concatenate([X[:, :TB], Z], axis=1)
             for t in range(self.rot_bits):
                 s = (1 << t) % L
                 cut = (L - s) * TB
@@ -814,6 +861,8 @@ class ResidentQSPAFL(ResidentQSPA):
             jnp.asarray(self.real2),
             jnp.asarray(self.synk2),
         ]
+        if getattr(self, "rot_impl", "b2") == "b4":
+            consts += [jnp.asarray(self.r4_down), jnp.asarray(self.r4_up)]
         const_specs = [
             pl.BlockSpec(c.shape, lambda i, _nd=c.ndim: (0,) * _nd,
                          memory_space=pltpu.VMEM)
