@@ -7,9 +7,16 @@ hard-decision write per frame, total — the true speed-of-light design point
 reference genre's C++ decoder inner loops (SURVEY.md §2.2) at the whole-
 decoder granularity rather than per-phase.
 
-Round-2 design (the kernel is VPU-bound, measured ~3.2e12 VPU ops/s at the
-v5e vector-unit ceiling in the round-1 shape; every change below trades VPU
-passes for idle MXU cycles or deletes work outright):
+TWO layouts live here. `ResidentQSPAFL` (round 4, frames-on-lanes 2D —
+see its docstring) is the dispatch default for 128-multiple batches;
+`ResidentQSPA` below (round 2/3, checks-on-lanes) remains the
+small-batch fallback and the semantic twin the FL kernel is fp-exact
+against.
+
+Round-2 design of the checks-on-lanes kernel (VPU-bound, measured
+~3.2e12 VPU ops/s at the v5e vector-unit ceiling in the round-1 shape;
+every change below trades VPU passes for idle MXU cycles or deletes work
+outright):
 
 - Layout [q, dc, TB, M]: GF symbols on the leading axis, frames on sublanes,
   checks on lanes. Messages are carried in the EXP-ORDER basis
