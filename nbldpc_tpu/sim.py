@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Callable, Optional
 
@@ -258,6 +259,10 @@ def run_sweep(
         # and mesh-shape-invariant for a given stop-rule trajectory.
         slot_point = np.arange(S)
         n_done = int(done.sum())
+        # NBLDPC_NO_SLOT_REALLOC=1: debug/A-B escape hatch (used by
+        # benchmarks/bench_realloc.py to measure the reallocation win)
+        if os.environ.get("NBLDPC_NO_SLOT_REALLOC") == "1":
+            n_done = 0
         if 0 < n_done < S:
             active = np.flatnonzero(~done)
             order = active[np.argsort(counters.frames[active], kind="stable")]
