@@ -139,6 +139,36 @@ def test_resident_kernel_device_statistical():
     assert np.mean(np.array(ref.done) == np.array(done)) > 0.99
 
 
+def test_resident_fl_rot_b4_interpret_exact(small_codes):
+    """The radix-4 rotation variant (rot_impl="b4", flag-gated, measured
+    slower on device and kept for the record) is fp-exact vs the default
+    binary rolls: one-hot digit masks make every blend product exact."""
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPAFL
+
+    spec = make_peg_code(16, 8, 16, dv=2, seed=3)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 24, 2.5, seed=9)
+    h0, dn0, it0 = ResidentQSPAFL(g, 8, True)(llr, tb=24, interpret=True)
+    h1, dn1, it1 = ResidentQSPAFL(g, 8, True, rot_impl="b4")(
+        llr, tb=24, interpret=True)
+    assert bool(jnp.all(h0 == h1))
+    assert bool(jnp.all(dn0 == dn1))
+    assert bool(jnp.all(it0 == it1))
+
+
+def test_resident_tile_dispatch():
+    """Layout/tile selection: frames-on-lanes (tb 128) for 128-multiple
+    batches, checks-on-lanes sublane tiles otherwise, none for tiny odd
+    batches."""
+    from nbldpc_tpu.decoders.qspa import _resident_tile
+
+    assert _resident_tile(8192) == ("fl", 128)
+    assert _resident_tile(128) == ("fl", 128)
+    assert _resident_tile(96) == ("cl", 48)
+    assert _resident_tile(24) == ("cl", 24)
+    assert _resident_tile(7) == ("", 0)
+
+
 @pytest.mark.parametrize("q,n,m", [(4, 12, 6), (16, 16, 8)])
 def test_resident_ems_interpret_matches_xla(q, n, m):
     """K0-EMS resident decoder is frame-exact vs the XLA batch-last EMS
