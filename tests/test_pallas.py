@@ -156,6 +156,29 @@ def test_resident_fl_rot_b4_interpret_exact(small_codes):
     assert bool(jnp.all(it0 == it1))
 
 
+def test_resident_kernels_gf32_interpret(small_codes):
+    """GF(32) — the upper edge of the resident kernels' q <= 32 envelope
+    and the only odd-p (2^5) case: frames-on-lanes QSPA matches the
+    checks-on-lanes kernel and resident EMS matches the XLA path."""
+    from nbldpc_tpu.decoders import ems
+    from nbldpc_tpu.kernels.ems_resident import ResidentEMS
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPA, ResidentQSPAFL
+
+    spec = make_peg_code(24, 12, 32, dv=2, seed=5)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 16, 3.0, seed=13)
+    h0, dn0, it0 = ResidentQSPA(g, 6, True)(llr, tb=16, interpret=True)
+    h1, dn1, it1 = ResidentQSPAFL(g, 6, True)(llr, tb=16, interpret=True)
+    assert bool(jnp.all(h0 == h1)) and bool(jnp.all(dn0 == dn1))
+    assert bool(jnp.all(it0 == it1))
+    ref = ems.decode(g, llr, max_iters=6, nm=32, early_term=True,
+                     use_pallas="no")
+    h2, dn2, it2 = ResidentEMS(g, 6, nm=32, early_term=True)(
+        llr, tb=16, interpret=True)
+    assert bool(jnp.all(ref.hard == h2)) and bool(jnp.all(ref.done == dn2))
+    assert bool(jnp.all(ref.iters == it2))
+
+
 def test_resident_tile_dispatch():
     """Layout/tile selection: frames-on-lanes (tb 128) for 128-multiple
     batches, checks-on-lanes sublane tiles otherwise, none for tiny odd
