@@ -152,11 +152,15 @@ def decode(
     """
     if batch_last:
         impl = _pick_impl(cn_impl, graph, llr.shape[0])
+        layout, tb = _resident_tile(llr.shape[0])
+        if impl == "resident" and not tb:
+            # explicitly-requested resident kernel but no tile divides the
+            # batch (e.g. a prime batch size) — fall through to K1/XLA
+            impl = "pallas" if _on_tpu() else "xla"
         if impl == "resident":
             from nbldpc_tpu.kernels.qspa_resident import get_resident_decoder
 
             mmdt = jnp.bfloat16 if mm_precision == "bf16" else jnp.float32
-            layout, tb = _resident_tile(llr.shape[0])
             dec = get_resident_decoder(graph, max_iters, early_term,
                                        stats_each_iter=stats_each_iter,
                                        mm_dtype=mmdt, layout=layout)
