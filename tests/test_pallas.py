@@ -283,6 +283,38 @@ def test_resident_fl_kernel_device_exact_vs_cl():
 
 
 @pytest.mark.tpu
+def test_resident_throughput_modes_device():
+    """The fixed-budget throughput variants (early_term=False,
+    stats_each_iter=False — the bench.py / run_all programs, compiled
+    DIFFERENTLY from the bookkeeping mode) agree with the bookkeeping
+    kernels on hard decisions for frames both modes decode."""
+    from nbldpc_tpu.kernels.ems_resident import ResidentEMS
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPAFL
+
+    spec = make_peg_code(204, 102, 16, dv=2, seed=1)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 256, 2.5, seed=5)
+    d_full = ResidentQSPAFL(g, max_iters=12, early_term=False)
+    d_thru = ResidentQSPAFL(g, max_iters=12, early_term=False,
+                            stats_each_iter=False)
+    h0, dn0, _ = jax.jit(lambda x: d_full(x, tb=128))(llr)
+    h1, dn1, _ = jax.jit(lambda x: d_thru(x, tb=128))(llr)
+    assert bool(jnp.all(dn0 == dn1))
+    # throughput mode reports the FINAL iteration's decisions; they match
+    # the frozen-at-convergence decisions on converged frames
+    both = np.array(dn0)
+    assert np.mean(np.array(h0)[both] == np.array(h1)[both]) > 0.999
+    e_full = ResidentEMS(g, 12, nm=16, early_term=False)
+    e_thru = ResidentEMS(g, 12, nm=16, early_term=False,
+                         stats_each_iter=False)
+    h2, dn2, _ = jax.jit(lambda x: e_full(x, tb=128))(llr)
+    h3, dn3, _ = jax.jit(lambda x: e_thru(x, tb=128))(llr)
+    assert bool(jnp.all(dn2 == dn3))
+    both = np.array(dn2)
+    assert np.mean(np.array(h2)[both] == np.array(h3)[both]) > 0.999
+
+
+@pytest.mark.tpu
 def test_resident_fl_kernel_gf4_device():
     """GF(4) on-device: the config the old layout served worst (M=48 ->
     128-lane pad = 2.7x waste). Statistical agreement with the XLA path."""
