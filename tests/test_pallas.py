@@ -346,6 +346,26 @@ def test_cn_kernel_device_matches_xla():
     )
 
 
+@pytest.mark.tpu
+def test_cn_kernel_mxu_wht_gf256_device():
+    """K1's flag-gated MXU-WHT variant (measured accurate-but-not-faster
+    at Precision.HIGHEST; default-precision emulation leaves bf16-grade
+    spectra errors — see cn_qspa.py) stays numerically sound on the real
+    chip vs the XLA path."""
+    spec = make_peg_code(255, 80, 256, dv=2, seed=1)
+    g = TannerGraph(spec)
+    U = _random_u(g, B=128)
+    ref = jax.jit(lambda u: qspa.qspa_cn_update_bl(u, g))(U)
+    out = cn_update_pallas(U, wht_impl="mxu")
+    mask = np.array(g.cn_mask_np)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.where(mask, np.array(out), 0.0),
+        np.where(mask, np.array(ref), 0.0),
+        rtol=1e-3,
+        atol=1e-3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # On-device gate (round-3 rule): every Pallas kernel x dtype mode reachable
 # from bench.py / sim.py must compile AND agree on the real chip — interpret
