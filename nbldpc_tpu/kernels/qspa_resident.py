@@ -833,6 +833,8 @@ class ResidentQSPAFL(ResidentQSPA):
                 return jax.lax.cond(alldone, lambda c: c, body, carry)
             carry = jax.lax.fori_loop(0, self.max_iters, cond_body, carry)
         else:
+            # (a 2x loop unroll was measured neutral here — Mosaic already
+            # schedules across the fori_loop boundary)
             carry = jax.lax.fori_loop(0, self.max_iters,
                                       lambda i, c: body(c), carry)
 
