@@ -154,6 +154,8 @@ class ResidentEMS(ResidentQSPAFL):
 
         def gperm(X, RB):
             """Conditional multiply permutation across lane groups."""
+            if "rot" in self.ablate:
+                return X
             one = jnp.asarray(1.0, X.dtype)
             for t in range(self.rot_bits):
                 mm = self.mult_maps[t]
@@ -186,7 +188,12 @@ class ResidentEMS(ResidentQSPAFL):
         def cn_update(U):
             """[E2, q*TB] x-domain in/out. decoders/ems.py::_cn_ems_core
             forward/backward structure (untruncated: extract = identity,
-            all operands dense)."""
+            all operands dense). "lou" in ablate skips the merges (numbers
+            wrong by design — the attribution probe, like the QSPA
+            kernel's flag set)."""
+            if "lou" in self.ablate:
+                mo = jnp.concatenate([groupmax(U)] * q, axis=1)
+                return jnp.maximum(jnp.minimum(U - mo, 0.0), neg)
             Ujs = [U[j * Mp:(j + 1) * Mp] for j in range(dc)]
             F = [None] * dc
             F[1] = Ujs[0]
@@ -247,14 +254,22 @@ class ResidentEMS(ResidentQSPAFL):
             hardf, done, iters = carry
             # VN phase: leave-one-out + per-edge max-normalize (decode_bl's
             # Vv normalization), then the down permutation into x-domain
-            Ve = route_down(post_ref[...]) - lc_ref[...]
+            if "route" in self.ablate:
+                Ve = lc_ref[...] * jnp.asarray(1.0, mdt)
+            else:
+                Ve = route_down(post_ref[...]) - lc_ref[...]
             Ve = Ve - jnp.concatenate([groupmax(Ve)] * q, axis=1)
             U = gperm(Ve, RBd)
             if self.force_padfix:
                 U = U * real + d0 * (1.0 - real)
             # CN phase in x-domain, then back to c-domain for storage
             lc_ref[...] = gperm(cn_update(U), RBu).astype(mdt)
-            post_ref[...] = route_up()
+            if "route" in self.ablate:
+                sal = jnp.sum(lc_ref[...], axis=0).reshape(1, q * TB)
+                post_ref[...] = prior + (
+                    sal * jnp.asarray(1e-9, mdt)).astype(mdt)
+            else:
+                post_ref[...] = route_up()
             if not self.stats_each_iter:
                 return (hardf, done, iters + (1.0 - done))
             hard_new = hard_of(post_ref[...])
