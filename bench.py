@@ -47,27 +47,46 @@ def worker(batch: int, reps: int, precision: str = "bf16") -> None:
 
     sigmas = jnp.asarray([0.63])  # ~2 dB at rate 1/2 — mid-waterfall load
     key = jax.random.PRNGKey(0)
-    keys = [jax.random.fold_in(key, r) for r in range(reps)]
 
     jax.block_until_ready(step(key, sigmas))  # warmup / compile
     # second warmup: the axon tunnel occasionally spends ~1 s on the SECOND
     # execution of a program (measured) — keep it out of the timed reps
     jax.block_until_ready(step(jax.random.fold_in(key, 999), sigmas))
 
-    t0 = time.perf_counter()
-    outs = [step(k, sigmas) for k in keys]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    # Timing methodology (round 4): CHAIN the steps through a data
+    # dependency and fetch ONE scalar at the end, then take the SLOPE
+    # between two chain depths. Discovered on device: the axon tunnel can
+    # ELIDE pure programs whose outputs are never fetched (a 512 MB pallas
+    # copy chain "completed" in 0.05 ms under block_until_ready but took
+    # 43 ms when a derived scalar was fetched), and each host fetch costs
+    # ~11 ms of round-trip latency. Chained-with-one-fetch forces every
+    # step to really execute; the slope cancels the single fetch latency.
+    def chain(n, base):
+        acc = jnp.zeros((1,), jnp.float32)
+        for r in range(n):
+            out = step(jax.random.fold_in(key, base + r), sigmas + acc * 1e-30)
+            acc = acc + out["symbol_errors"].astype(jnp.float32) * 1e-20
+        return acc
 
-    frames = batch * reps
-    symbols = frames * spec.n
+    n_lo, n_hi = 2, max(4, reps)
+    float(chain(n_lo, 500)[0])               # warm both chain programs
+    float(chain(n_hi, 600)[0])
+    t0 = time.perf_counter()
+    float(chain(n_lo, 700)[0])
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chain(n_hi, 800)[0])
+    t_hi = time.perf_counter() - t0
+    dt = (t_hi - t_lo) / (n_hi - n_lo)       # true per-step device time
+
+    symbols = batch * spec.n
     sym_per_s = symbols / dt
     result = {
         "metric": "decoded_coded_symbols_per_s_per_chip_qspa_gf16_50it",
         "value": round(sym_per_s, 1),
         "unit": "symbols/s/chip",
         "vs_baseline": round(sym_per_s / 1e8, 4),
-        "frames_per_s": round(frames / dt, 2),
+        "frames_per_s": round(batch / dt, 2),
         "platform": platform,
         "batch": batch,
         "iters": iters,
