@@ -80,19 +80,32 @@ def main():
         # SECOND execution of a program (measured: 1050 ms then 34 ms
         # steady-state) — keep that out of the timed reps
         jax.block_until_ready(step(key, sigmas))
-        # Time several pipelined batches and take the BEST: tunnel dispatch
-        # throughput degrades transiently (measured 10x) right after large
-        # remote compiles, and a single timed window can land inside the
-        # degraded period.
-        per_batch = max(2, reps // 2)
+
+        # Chained-steps + single-fetch SLOPE timing (round 4, see bench.py):
+        # the axon tunnel can ELIDE pure programs whose outputs are never
+        # fetched, and each host fetch costs ~11 ms of round-trip latency —
+        # chaining forces real execution, the slope cancels the fetch.
+        def chain(n, base):
+            acc = jnp.zeros((1,), jnp.float32)
+            for r in range(n):
+                o = step(jax.random.fold_in(key, base + r),
+                         sigmas + acc * 1e-30)
+                acc = acc + o["symbol_errors"][:1].astype(jnp.float32) * 1e-20
+            return acc
+
+        n_lo, n_hi = 2, max(4, reps)
+        float(chain(n_lo, 500)[0])
+        float(chain(n_hi, 600)[0])
         dt = float("inf")
-        for b in range(3):
+        for b in range(2):
             t0 = time.perf_counter()
-            outs = [step(jax.random.fold_in(key, b * per_batch + r), sigmas)
-                    for r in range(per_batch)]
-            jax.block_until_ready(outs)
-            dt = min(dt, time.perf_counter() - t0)
-        frames = batch * n_snr * per_batch
+            float(chain(n_lo, 700 + 50 * b)[0])
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(chain(n_hi, 900 + 50 * b)[0])
+            t_hi = time.perf_counter() - t0
+            dt = min(dt, (t_hi - t_lo) / (n_hi - n_lo))
+        frames = batch * n_snr
         rec = {
             "config": name,
             "code": code,
@@ -103,6 +116,7 @@ def main():
             "frames_per_s": round(frames / dt, 2),
             "compile_s": round(compile_s, 2),
             "platform": platform,
+            "timing": "chained_slope",
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)
