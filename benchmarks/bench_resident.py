@@ -53,6 +53,12 @@ def main():
     if args.decoder == "ems":
         from nbldpc_tpu.kernels.ems_resident import ResidentEMS
 
+        # ResidentEMS has no layout/rot/wht variants — collapse those sweep
+        # axes so every emitted variant label is a genuinely different
+        # program (round-4 advisor: the multiplied loops produced duplicate
+        # measurements labeled as distinct variants).
+        args.layout, args.rot, args.wht = "fl", "b2", "vpu"
+
     for layout in args.layout.split(","):
       cls = ResidentQSPAFL if layout == "fl" else ResidentQSPA
       for rot in args.rot.split(","):
@@ -67,7 +73,8 @@ def main():
                 if args.decoder == "ems":
                     dec = ResidentEMS(graph, args.iters, nm=spec.q,
                                       early_term=False,
-                                      stats_each_iter=False, mm_dtype=mmdt)
+                                      stats_each_iter=False, mm_dtype=mmdt,
+                                      ablate=ab)
                 else:
                     dec = cls(graph, args.iters, early_term=False,
                               stats_each_iter=False, mm_dtype=mmdt,

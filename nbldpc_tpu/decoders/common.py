@@ -222,10 +222,15 @@ def decode_bl(
             Cv = graph.gather_vn_x_bl(Chat)                   # [N, dv, q, B]
             posterior = llr + jnp.sum(Cv, axis=1)
         if not stats_each_iter:
+            # st.done is frozen at its init value in this mode, so frames
+            # whose syndrome was already satisfied at initialization report
+            # 0 iterations — matching the resident kernels' throughput-mode
+            # contract (iters + (1 - done0)); everyone else reports
+            # max_iters (round-4 advisor finding).
             return st._replace(
                 Cv=Cv,
                 posterior=posterior,
-                iters=st.iters + 1,
+                iters=st.iters + (~st.done).astype(jnp.int32),
                 it=st.it + 1,
             )
         hard_new = jnp.argmax(posterior, axis=1).astype(jnp.int32)

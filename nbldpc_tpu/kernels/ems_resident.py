@@ -64,9 +64,15 @@ class ResidentEMS(ResidentQSPAFL):
     def __init__(self, graph: TannerGraph, max_iters: int,
                  nm: int | None = None, offset: float = 0.0,
                  early_term: bool = True, stats_each_iter: bool = True,
-                 mm_dtype=jnp.float32):
+                 mm_dtype=jnp.float32, ablate: str = ""):
+        # ablate: same attribution-probe contract as the parent kernel
+        # (benchmarks/bench_resident.py --ablate): "rot" skips the GF-weight
+        # multiply permutes, "lou" the max-plus merge core, "route" both
+        # routing GEMMs. Round-4 advisor finding: this parameter was missing,
+        # so the EMS ablation sweep silently measured the unablated kernel.
         super().__init__(graph, max_iters, early_term,
-                         stats_each_iter=stats_each_iter, mm_dtype=mm_dtype)
+                         stats_each_iter=stats_each_iter, mm_dtype=mm_dtype,
+                         ablate=ablate)
         q = graph.q
         if nm is None:
             nm = q

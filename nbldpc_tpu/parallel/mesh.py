@@ -36,7 +36,11 @@ def make_mesh(snr: int = 1, data: int = 0, devices=None) -> Mesh:
 
 
 def sim_shardings(mesh: Mesh):
-    """NamedShardings for the sim step: inputs [S, B, ...] and counters [S]."""
+    """NamedShardings for the sim step: inputs [S, B, ...] and counters [S].
+
+    "batch" is applied inside make_sim_step via with_sharding_constraint to
+    the internal frame tensors (DP contract enforced by construction;
+    tests/test_mesh.py asserts the compiled sharding spans 'data')."""
     return {
         "batch": NamedSharding(mesh, P("snr", "data")),   # [S, B, ...]
         "per_snr": NamedSharding(mesh, P("snr")),         # sigma, counters [S]

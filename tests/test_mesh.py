@@ -60,6 +60,40 @@ def test_sharded_equals_unsharded(cfg8, shape):
         )
 
 
+def test_batch_axis_sharding_is_compiled(cfg8):
+    """The internal [S, B, ...] frame tensors must ACTUALLY shard over
+    ('snr', 'data') in the compiled program — not silently replicate
+    (round-4 verdict item 4: the DP contract must hold by construction).
+
+    Uses the sim step's sharding probe (jax.debug.inspect_array_sharding),
+    which reports the sharding XLA compiled for the constrained tensors."""
+    from nbldpc_tpu.code import CodeSpec  # noqa: F401 (import check)
+    from nbldpc_tpu.graph import TannerGraph
+    from nbldpc_tpu.parallel.mesh import sim_shardings
+    from nbldpc_tpu.utils.config import DecoderConfig
+
+    mesh = make_mesh(snr=2, data=4)
+    sh = sim_shardings(mesh)
+    spec = cfg8.code.load()
+    graph = TannerGraph(spec)
+    seen = []
+    step = sim.make_sim_step(
+        graph, DecoderConfig(kind="qspa", max_iters=2), 32, 2,
+        batch_sharding=sh["batch"], sharding_probe=seen.append,
+    )
+    step = jax.jit(step, in_shardings=(sh["replicated"], sh["per_snr"]),
+                   out_shardings=sh["per_snr"])
+    sigmas = jax.numpy.asarray([0.8, 0.6])
+    out = step(jax.random.PRNGKey(0), sigmas)
+    jax.block_until_ready(out)
+    assert len(seen) >= 2, "sharding probe saw no constrained tensors"
+    for s in seen:
+        spec_axes = tuple(s.spec)
+        assert spec_axes[:2] == ("snr", "data"), (
+            f"frame tensors must shard P('snr','data'), got {s.spec}"
+        )
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver-facing multi-chip dry run must compile and execute."""
     import __graft_entry__ as ge
