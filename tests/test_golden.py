@@ -71,7 +71,7 @@ def test_qspa_messages_one_iter(small_codes, code_name):
                 )
 
 
-@pytest.mark.parametrize("code_name", ["gf4_tiny", "gf16_tiny"])
+@pytest.mark.parametrize("code_name", ["gf4_tiny", "gf16_tiny", "gf4_dv3"])
 def test_qspa_hard_decisions_match(small_codes, code_name):
     """Hard decisions match the oracle frame-for-frame on noisy frames."""
     spec = small_codes[code_name]
@@ -118,7 +118,7 @@ def test_qspa_corrects_single_error(small_codes):
     np.testing.assert_array_equal(np.array(res.hard), np.array(cw))
 
 
-@pytest.mark.parametrize("code_name", ["gf4_tiny", "gf16_tiny", "gf4_n96"])
+@pytest.mark.parametrize("code_name", ["gf4_tiny", "gf16_tiny", "gf4_n96", "gf4_dv3"])
 def test_qspa_layouts_agree(small_codes, code_name):
     """Batch-last (TPU-fast) and q-last paths implement identical updates:
     hard decisions, done flags and iteration counts must match exactly."""
