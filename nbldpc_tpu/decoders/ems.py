@@ -216,6 +216,138 @@ def _cn_ems_core(Ujs: list, nm: int, q: int, axis: int,
     return outs
 
 
+# ---------------------------------------------------------------------------
+# Bubble EMS (round 5): list-based merges for large q.
+#
+# The classic q>64 path above scans nm list entries against a DENSE
+# compensated operand, paying nm * p conditional static permutes of a dense
+# [.., q, ..] tensor per merge (~200 dense passes at GF(256) nm=16) — the
+# measured reason GF(256) EMS sat at 4.3e5 sym/s for two rounds. Bubble EMS
+# (Boutillon & Conde-Canencia's bubble-check idea, adapted to static TPU
+# shapes) merges two SORTED nm-lists directly: for sorted descending
+# operands, every candidate pair (t, s) with (t+1)*(s+1) > nm is dominated
+# by more than nm larger pairs and can never reach the top-nm, so the
+# merge enumerates only the STATIC staircase set (|S| = 50 for nm = 16)
+# and extracts its top-nm — all ops on [.., 50, ..] tensors instead of
+# [.., q, ..]. Lists convert to dense only at the CN boundary (scatter with
+# compensation fill), keeping the VN/posterior machinery unchanged.
+#
+# SEMANTICS DIFFER from the classic compensated-dense scheme (tail
+# configurations are dropped rather than floor-compensated inside merges),
+# so this is a separate decoder variant with its own co-designed numpy
+# oracle (tests/reference_model.py kind="ems_bubble") and its own FER
+# validation (benchmarks/results/bubble_fer_*.json) — the classic paths
+# and their golden tests are untouched. Deterministic tie-breaks: input
+# extraction ties -> lower GF index; candidate extraction ties -> first in
+# the lexicographic (t, s) enumeration; duplicate-index scatter -> the
+# larger value wins.
+# ---------------------------------------------------------------------------
+
+
+def bubble_pairs(nm: int):
+    """Static staircase candidate set: (t+1)*(s+1) <= nm, lex order."""
+    return [(t, s) for t in range(nm) for s in range(nm)
+            if (t + 1) * (s + 1) <= nm]
+
+
+def _top_list(x: jnp.ndarray, nm: int, q: int, axis: int):
+    """Top-nm (vals, idxs) of dense x along `axis`, descending, ties ->
+    lower GF index (stable-sort order). vals/idxs have nm at `axis`."""
+    iota = _iota(q, x.ndim, axis)
+    run = x
+    vals, idxs = [], []
+    for _ in range(nm):
+        mx = jnp.max(run, axis=axis, keepdims=True)
+        idx = jnp.min(
+            jnp.where(run >= mx, iota, q), axis=axis, keepdims=True
+        ).astype(jnp.int32)
+        run = jnp.where(iota == idx, NEG, run)
+        vals.append(mx)
+        idxs.append(idx)
+    return jnp.concatenate(vals, axis), jnp.concatenate(idxs, axis)
+
+
+def _merge_bubble(acc, op, TS, nm: int, axis: int):
+    """Merge two sorted nm-lists: top-nm of the staircase candidates
+    (values a_t + b_s at GF indices ai_t ^ bi_s). Ties -> first candidate
+    in the lex (t, s) enumeration. Returns (vals, idxs) sorted desc."""
+    accV, accI = acc
+    opV, opI = op
+    T, S = TS
+    av = jnp.take(accV, T, axis=axis)
+    ai = jnp.take(accI, T, axis=axis)
+    bv = jnp.take(opV, S, axis=axis)
+    bi = jnp.take(opI, S, axis=axis)
+    cv = av + bv                                       # [.., P, ..]
+    ci = ai ^ bi
+    P = len(T)
+    iota = _iota(P, cv.ndim, axis)
+    vals, idxs = [], []
+    run = cv
+    for _ in range(nm):
+        mx = jnp.max(run, axis=axis, keepdims=True)
+        pos = jnp.min(jnp.where(run >= mx, iota, P), axis=axis,
+                      keepdims=True)
+        sel = iota == pos
+        pick = jnp.sum(jnp.where(sel, ci, 0), axis=axis, keepdims=True)
+        run = jnp.where(sel, NEG, run)
+        vals.append(mx)
+        idxs.append(pick.astype(jnp.int32))
+    return jnp.concatenate(vals, axis), jnp.concatenate(idxs, axis)
+
+
+def _scatter_list(lst, q: int, axis: int):
+    """List -> dense q-vector: kept entries at their GF indices, every
+    other symbol filled with the COMPENSATION value (smallest kept value,
+    the classic truncated-list tail semantics). Written largest-last so
+    the larger value wins at duplicate indices."""
+    vals, idxs = lst
+    nm = vals.shape[axis % vals.ndim]
+    iota = _iota(q, vals.ndim, axis)
+    comp = jax.lax.index_in_dim(vals, nm - 1, axis % vals.ndim,
+                                keepdims=True)
+    out = jnp.broadcast_to(
+        comp, comp.shape[: axis % vals.ndim] + (q,)
+        + comp.shape[axis % vals.ndim + 1:])
+    for t in reversed(range(nm)):
+        v = jax.lax.index_in_dim(vals, t, axis % vals.ndim, keepdims=True)
+        i = jax.lax.index_in_dim(idxs, t, axis % vals.ndim, keepdims=True)
+        out = jnp.where(iota == i, v, out)
+    return out
+
+
+def _cn_ems_bubble_core(Ujs: list, nm: int, q: int, axis: int) -> list:
+    """Bubble forward/backward EMS over one check's dc operands.
+
+    Same F/B recursion shape as _cn_ems_core; operands live as sorted
+    nm-lists throughout, densified only for the final edge outputs."""
+    dc = len(Ujs)
+    assert dc >= 2
+    pairs = bubble_pairs(nm)
+    TS = (np.array([t for t, _ in pairs]), np.array([s for _, s in pairs]))
+
+    quads = [_top_list(u, nm, q, axis) for u in Ujs]
+    F = [None] * dc
+    F[1] = quads[0]
+    for j in range(2, dc):
+        F[j] = _merge_bubble(F[j - 1], quads[j - 1], TS, nm, axis)
+    B = [None] * dc
+    B[dc - 2] = quads[dc - 1]
+    for j in range(dc - 3, -1, -1):
+        B[j] = _merge_bubble(B[j + 1], quads[j + 1], TS, nm, axis)
+
+    outs = []
+    for j in range(dc):
+        if j == 0:
+            lst = B[0]
+        elif j == dc - 1:
+            lst = F[dc - 1]
+        else:
+            lst = _merge_bubble(F[j], B[j], TS, nm, axis)
+        outs.append(_scatter_list(lst, q, axis))
+    return outs
+
+
 def _postprocess(O: jnp.ndarray, offset: float, axis: int) -> jnp.ndarray:
     O = O - jnp.max(O, axis=axis, keepdims=True)
     return jnp.maximum(jnp.minimum(O + offset, 0.0), NEG)
@@ -237,18 +369,26 @@ def ems_cn_update(
 
 
 def ems_cn_update_bl(
-    U: jnp.ndarray, graph: TannerGraph, nm: int = 16, offset: float = 0.0
+    U: jnp.ndarray, graph: TannerGraph, nm: int = 16, offset: float = 0.0,
+    merge: str = "classic",
 ) -> jnp.ndarray:
     """Batch-last CN update: U [M, dc_max, q, B] log-domain x-domain.
 
     Identical math to ems_cn_update with q on axis 2 and the Monte-Carlo
     batch on the TPU lane axis. Pad CN slots arrive as log-delta0 — exactly
     the merge identity — from graph.gather_cn_x_bl, so no masking is needed
-    (pad OUTPUT slots are never routed by the VN gather)."""
+    (pad OUTPUT slots are never routed by the VN gather).
+
+    merge="bubble" selects the list-based staircase merges (the fast
+    large-q variant — see the Bubble EMS block above; different truncation
+    semantics, own oracle/goldens)."""
     q = graph.q
     U = U - jnp.max(U, axis=2, keepdims=True)
     Ujs = [U[:, j] for j in range(graph.dc_max)]              # [M, q, B]
-    outs = _cn_ems_core(Ujs, min(nm, q), q, axis=1)
+    if merge == "bubble":
+        outs = _cn_ems_bubble_core(Ujs, min(nm, q), q, axis=1)
+    else:
+        outs = _cn_ems_core(Ujs, min(nm, q), q, axis=1)
     return _postprocess(jnp.stack(outs, axis=1), offset, axis=2)
 
 
@@ -262,14 +402,21 @@ def decode(
     batch_last: bool = True,
     use_pallas: str = "auto",
     stats_each_iter: bool = True,
+    merge: str = "classic",
 ) -> common.DecodeResult:
     """EMS decode of a batch: llr [B, N, q] -> DecodeResult.
 
     batch_last=True uses the TPU-fast lane layout; use_pallas selects the
-    fused K2 check-node kernel ("auto" = on TPU only)."""
+    fused K2 check-node kernel ("auto" = on TPU only). merge="bubble"
+    selects the list-based large-q CN variant (batch-last XLA only)."""
     if batch_last:
         from nbldpc_tpu.decoders.qspa import _on_tpu, _resident_tile
 
+        if merge == "bubble":
+            cn = functools.partial(ems_cn_update_bl, nm=nm, offset=offset,
+                                   merge="bubble")
+            return common.decode_bl(graph, llr, cn, max_iters, early_term,
+                                    stats_each_iter=stats_each_iter)
         if use_pallas == "auto":
             use_pallas = "yes" if _on_tpu() else "no"
         if use_pallas == "yes":

@@ -99,13 +99,27 @@ def _on_tpu() -> bool:
     return jax.extend.backend.get_backend().platform == "tpu"
 
 
-def _resident_tile(batch: int) -> tuple:
+def _resident_tile(batch: int, graph: TannerGraph | None = None) -> tuple:
     """(layout, tile) for the resident kernel, or ("", 0) if none fits.
 
-    Prefers the round-4 frames-on-lanes layout (tile = multiple of 128 on
-    the lane axis — measured ~10% faster at GF(16) and ~15% at GF(4) than
-    the checks-on-lanes layout, with zero lane padding); falls back to the
-    checks-on-lanes layout with a sublane tile for smaller batches."""
+    q <= 32 (or no graph given): prefers the round-4 frames-on-lanes layout
+    (tile = multiple of 128 on the lane axis — measured ~10% faster at
+    GF(16) and ~15% at GF(4) than the checks-on-lanes layout, with zero
+    lane padding); falls back to checks-on-lanes with a sublane tile for
+    smaller batches.
+
+    q > 32 (round-5 extension): the frames-on-lanes layout would need
+    q*128 lanes per row, so large fields always use checks-on-lanes, with
+    the frame tile capped by a VMEM model (~7 live [q, dc, TB, Mpad] f32
+    tensors within a 90 MB budget of the chip's >= 120 MB physical VMEM)."""
+    if graph is not None and graph.q > 32:
+        m_pad = -(-graph.m // 128) * 128                  # lane padding
+        per_tb = 7 * graph.q * graph.dc_max * m_pad * 4
+        cap = max(8, (90 * 1024 * 1024 // per_tb) // 8 * 8)
+        for t in range(min(batch, cap), 7, -1):
+            if batch % t == 0 and t % 8 == 0:
+                return "cl", t
+        return "", 0
     if batch % 128 == 0:
         return "fl", 128
     for t in range(min(batch, 64), 7, -1):
@@ -121,7 +135,7 @@ def _pick_impl(impl: str, graph: TannerGraph, batch: int) -> str:
         return impl
     if not _on_tpu():
         return "xla"
-    if graph.q <= 32 and _resident_tile(batch)[1]:
+    if _resident_tile(batch, graph)[1]:
         return "resident"
     return "pallas"
 
@@ -152,7 +166,7 @@ def decode(
     """
     if batch_last:
         impl = _pick_impl(cn_impl, graph, llr.shape[0])
-        layout, tb = _resident_tile(llr.shape[0])
+        layout, tb = _resident_tile(llr.shape[0], graph)
         if impl == "resident" and not tb:
             # explicitly-requested resident kernel but no tile divides the
             # batch (e.g. a prime batch size) — fall through to K1/XLA

@@ -84,6 +84,53 @@ def _two_deviation_dense(m1x, c1x, m2x, q: int, axis: int,
     return dw
 
 
+def _two_deviation_bubble(m1x, c1x, m2x, q: int, axis: int, n_r: int):
+    """TRUNCATED two-deviation search (round 5 — VERDICT item 3): restrict
+    both deviations to the n_r most reliable rows (ranked by the
+    column-excluded one-deviation metric m1x, ties -> lower row index),
+    instead of the exact all-(q-1)-row Gray scan.
+
+    This is the classic T-EMS complexity reduction (Li et al.'s reduced
+    deviation sets), reformulated list-style for TPU: extract the top-n_r
+    (value, row) list, enumerate the n_r*(n_r-1)/2 unordered pairs as
+    CANDIDATES (value = collision-fixed two-deviation sum, index =
+    e1 ^ e2), and scatter-max them into the dense dw — no data-dependent
+    XOR permutes at all, so the same code runs in the K5 Pallas kernel
+    unchanged. The one-deviation term stays EXACT (dense m1x). Changes
+    decoder semantics vs the exact scan; co-designed numpy oracle:
+    tests/reference_model.py kind="tems" with n_r, FER validation in
+    benchmarks/results/ (fer_curves_r5)."""
+    iota = _iota(q, m1x.ndim, axis)
+    # rank rows by m1x with row 0 excluded (a zero deviation is not a
+    # deviation); 2*NEG sentinel so all-NEG pad rows cannot re-select row 0
+    run = jnp.where(iota == 0, 2.0 * NEG, m1x)
+    v1s, v2s, cs, idxs = [], [], [], []
+    for _ in range(n_r):
+        mx = jnp.max(run, axis=axis, keepdims=True)
+        idx = jnp.min(jnp.where(run >= mx, iota, q), axis=axis,
+                      keepdims=True).astype(jnp.int32)
+        sel = iota == idx
+        run = jnp.where(sel, 2.0 * NEG, run)
+        v1s.append(mx)
+        v2s.append(jnp.sum(jnp.where(sel, m2x, 0.0), axis=axis,
+                           keepdims=True))
+        cs.append(jnp.sum(jnp.where(sel, c1x, 0.0), axis=axis,
+                          keepdims=True))
+        idxs.append(idx)
+    dw = m1x                                           # one deviation: exact
+    for t in range(n_r):
+        for s in range(t + 1, n_r):
+            eta = idxs[t] ^ idxs[s]
+            coll = cs[t] == cs[s]
+            cand = jnp.where(
+                coll,
+                jnp.maximum(v1s[t] + v2s[s], v2s[t] + v1s[s]),
+                v1s[t] + v1s[s],
+            )
+            dw = jnp.maximum(dw, jnp.where(iota == eta, cand, NEG))
+    return dw
+
+
 def _top3_stacked(dU, dc_axis: int):
     """Per-row top-3 (value, column) over the dc axis (compare/shift cascade
     of static slices; ties keep the earlier = lower column, matching a
@@ -109,7 +156,7 @@ def _top3_stacked(dU, dc_axis: int):
 
 
 def _cn_tems_core(U, q: int, dc_axis: int, q_axis: int,
-                  xor_take=_xor_take) -> jnp.ndarray:
+                  xor_take=_xor_take, n_r: int = 0) -> jnp.ndarray:
     """Stacked T-EMS check-node core, batched over the dc axis.
 
     U: [..., dc at dc_axis, ..., q at q_axis, ...], log-domain x-domain,
@@ -140,27 +187,33 @@ def _cn_tems_core(U, q: int, dc_axis: int, q_axis: int,
     c1x = jnp.where(is_j0, c2, c1)
     m2x = jnp.where(is_j0 | is_j1, m3, m2)
 
-    dw = _two_deviation_dense(m1x, c1x, m2x, q, q_axis, xor_take)
-    dw = jnp.maximum(dw, m1x)                               # one deviation
+    if n_r:
+        dw = _two_deviation_bubble(m1x, c1x, m2x, q, q_axis, n_r)
+    else:
+        dw = _two_deviation_dense(m1x, c1x, m2x, q, q_axis, xor_take)
+        dw = jnp.maximum(dw, m1x)                           # one deviation
     dw = jnp.where(iota_q == 0, 0.0, dw)                    # zero deviations
     # back to the normal domain: C_j(a) = dW(a ^ beta ^ z_j)
     return _xor_perm_dyn(dw, beta ^ z, q, q_axis, xor_take)
 
 
-def tems_cn_update(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> jnp.ndarray:
+def tems_cn_update(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0,
+                   n_r: int = 0) -> jnp.ndarray:
     """Check-node update, x-domain in/out: [B, M, dc_max, q] log-domain.
-    GF permutations live in the routing gathers (graph.gather_*_x)."""
+    GF permutations live in the routing gathers (graph.gather_*_x).
+    n_r > 0 selects the truncated-deviation search."""
     q = graph.q
     mask = graph.cn_mask[None, :, :, None]                # [1, M, dc, 1]
     U = U - jnp.max(U, axis=-1, keepdims=True)
     d0 = jnp.full((q,), NEG, U.dtype).at[0].set(0.0)
     U = jnp.where(mask, U, d0)                            # pads: identity
-    out = _cn_tems_core(U, q, dc_axis=2, q_axis=3)
+    out = _cn_tems_core(U, q, dc_axis=2, q_axis=3, n_r=n_r)
     out = jnp.minimum(out - jnp.max(out, axis=-1, keepdims=True) + offset, 0.0)
     return jnp.where(mask, jnp.maximum(out, NEG), 0.0)
 
 
-def tems_cn_update_bl(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -> jnp.ndarray:
+def tems_cn_update_bl(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0,
+                      n_r: int = 0) -> jnp.ndarray:
     """Batch-last CN update: U [M, dc_max, q, B] log-domain x-domain.
 
     Maskless: pad CN slots arrive as log-delta0 (graph.gather_cn_x_bl) —
@@ -168,7 +221,7 @@ def tems_cn_update_bl(U: jnp.ndarray, graph: TannerGraph, offset: float = 0.0) -
     are never routed by the VN gather."""
     q = graph.q
     U = U - jnp.max(U, axis=2, keepdims=True)
-    out = _cn_tems_core(U, q, dc_axis=1, q_axis=2)
+    out = _cn_tems_core(U, q, dc_axis=1, q_axis=2, n_r=n_r)
     return jnp.minimum(out - jnp.max(out, axis=2, keepdims=True) + offset, 0.0)
 
 
@@ -181,12 +234,14 @@ def decode(
     batch_last: bool = True,
     use_pallas: str = "auto",
     stats_each_iter: bool = True,
+    n_r: int = 0,
 ) -> common.DecodeResult:
     """T-EMS decode of a batch: llr [B, N, q] -> DecodeResult.
 
     use_pallas selects the fused check-node kernel ("auto" = on TPU only);
     stats_each_iter=False is the fixed-budget throughput mode (see
-    common.decode_bl)."""
+    common.decode_bl). n_r > 0 truncates the two-deviation search to the
+    n_r most reliable rows (own oracle semantics + FER validation)."""
     if batch_last:
         from nbldpc_tpu.decoders.qspa import _on_tpu
 
@@ -195,10 +250,11 @@ def decode(
         if use_pallas == "yes":
             from nbldpc_tpu.kernels.cn_tems import tems_cn_update_bl_pallas
 
-            cn = functools.partial(tems_cn_update_bl_pallas, offset=offset)
+            cn = functools.partial(tems_cn_update_bl_pallas, offset=offset,
+                                   n_r=n_r)
         else:
-            cn = functools.partial(tems_cn_update_bl, offset=offset)
+            cn = functools.partial(tems_cn_update_bl, offset=offset, n_r=n_r)
         return common.decode_bl(graph, llr, cn, max_iters, early_term,
                                 stats_each_iter=stats_each_iter)
-    cn = functools.partial(tems_cn_update, offset=offset)
+    cn = functools.partial(tems_cn_update, offset=offset, n_r=n_r)
     return common.decode(graph, llr, cn, max_iters, early_term)

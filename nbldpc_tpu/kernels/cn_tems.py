@@ -30,22 +30,24 @@ from nbldpc_tpu.kernels.cn_ems import (
 )
 
 
-def _cn_kernel(u_ref, out_ref, *, q: int, offset: float):
+def _cn_kernel(u_ref, out_ref, *, q: int, offset: float, n_r: int):
     U = u_ref[...]                                    # [TM, dc, q, TB]
     U = U - jnp.max(U, axis=2, keepdims=True)
-    out = _cn_tems_core(U, q, dc_axis=1, q_axis=2, xor_take=_xor_take_auto)
+    out = _cn_tems_core(U, q, dc_axis=1, q_axis=2, xor_take=_xor_take_auto,
+                        n_r=n_r)
     out_ref[...] = jnp.minimum(
         out - jnp.max(out, axis=2, keepdims=True) + offset, 0.0
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("graph", "offset", "interpret")
+    jax.jit, static_argnames=("graph", "offset", "n_r", "interpret")
 )
 def tems_cn_update_bl_pallas(
     U: jnp.ndarray,
     graph=None,
     offset: float = 0.0,
+    n_r: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused T-EMS CN update. U [M, dc, q, B] f32 log-domain x-domain.
@@ -59,7 +61,9 @@ def tems_cn_update_bl_pallas(
     # spilling), and the live-array count grows with the unrolled Gray-scan
     # length: measured ~3.15 MiB stack per [1, dc, q, TB] row at q=64
     # (≈24 live arrays) vs ≲10 at q=16. Model live ≈ 0.4q+6, 12 MiB budget.
-    live = 0.4 * q + 6
+    # truncated-deviation mode keeps only ~n_r list rows + dw live instead
+    # of the Gray scan's O(q) shifted operands
+    live = (0.4 * q + 6) if n_r == 0 else min(0.4 * q + 6, 1.5 * n_r + 10)
     # stack per TM row at the PADDED tile shape (lane axis stores as >=128,
     # sublanes as a multiple of 8 — see cn_ems.py)
     tb_pad = max(128, TB)
@@ -77,7 +81,7 @@ def tems_cn_update_bl_pallas(
         (TM, dc, q, TB), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        functools.partial(_cn_kernel, q=q, offset=offset),
+        functools.partial(_cn_kernel, q=q, offset=offset, n_r=n_r),
         out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
         grid=grid,
         in_specs=[spec],

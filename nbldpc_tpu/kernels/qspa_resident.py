@@ -69,8 +69,8 @@ class ResidentQSPA:
     def __init__(self, graph: TannerGraph, max_iters: int, early_term: bool = True,
                  stats_each_iter: bool = True, mm_dtype=jnp.float32,
                  wht_impl: str = "vpu", ablate: str = "", rot_impl: str = "b2"):
-        if graph.q > 32:
-            raise ValueError("resident kernel supports q <= 32 (use XLA path)")
+        if graph.q > 256:
+            raise ValueError("resident kernel supports q <= 256")
         # rot_impl: "b2" = binary conditional-roll rotation stages; "b4" =
         # radix-4 digits, half the stages at 4-way blends (FL kernel only)
         self.rot_impl = rot_impl
@@ -189,8 +189,16 @@ class ResidentQSPA:
 
     # ---- kernel body ----------------------------------------------------
 
-    def _kernel(self, llr_ref, ej_ref, a1_ref, a2_ref, rbd_ref, rbu_ref,
-                padd_ref, realm_ref, synk_ref, hard_ref, stats_ref):
+    def _kernel(self, llr_ref, ej_ref, *rest):
+        # A1/A2 (the [q*dc, q*dc] MXU-WHT operators) ship only in mxu mode:
+        # at q = 256 they are 12.8 MB each of VMEM consts the vpu path
+        # never reads (round-5 large-q extension).
+        if self.wht_impl == "mxu":
+            (a1_ref, a2_ref, rbd_ref, rbu_ref, padd_ref, realm_ref,
+             synk_ref, hard_ref, stats_ref) = rest
+        else:
+            (rbd_ref, rbu_ref, padd_ref, realm_ref, synk_ref,
+             hard_ref, stats_ref) = rest
         q, n, m, dc, dv, p = self.q, self.n, self.m, self.dc, self.dv, self.p
         TB = llr_ref.shape[1]
 
@@ -216,8 +224,9 @@ class ResidentQSPA:
         prior = _rows(Lr - mx[None], n2e).astype(mdt)     # [q, TB, N] exp-order
 
         E = ej_ref[...]                                   # [dc, N, M]
-        A1 = a1_ref[...]                                  # [q*dc, q*dc]
-        A2 = a2_ref[...]                                  # [q*dc, q*dc]
+        if self.wht_impl == "mxu":
+            A1 = a1_ref[...]                              # [q*dc, q*dc]
+            A2 = a2_ref[...]                              # [q*dc, q*dc]
         RBd = rbd_ref[...]                                # [T, dc, 1, M]
         RBu = rbu_ref[...]                                # [T, dc, 1, M]
         pad_delta_t = padd_ref[...]                       # [q, dc, 1, M]
@@ -345,7 +354,10 @@ class ResidentQSPA:
             elif self.wht_impl == "mxu":
                 F = wht_mxu(Ux, A1)                       # nat-order spectra
             else:
-                F = wht_vpu(_rows(Ux, e2n))
+                # vpu mode receives Ux already in NATURAL order: the
+                # exp->nat reorder is folded into softmax_q's output concat
+                # (free — same per-element arithmetic, round-5 large-q fold)
+                F = wht_vpu(Ux)
             if "lou" in self.ablate:
                 G = F
             else:
@@ -365,19 +377,40 @@ class ResidentQSPA:
             elif self.wht_impl == "mxu":
                 Q = wht_mxu(G, A2)                        # exp-order, /q folded
             else:
-                Q = _rows(wht_vpu(G), n2e) * (1.0 / q)
+                # fold the nat->exp reorder + 1/q scale + floor + log into
+                # ONE output concat (per-element arithmetic unchanged ->
+                # fp-exact vs the separate-pass form; saves 2 full passes
+                # per iteration — decisive at q = 256 where a reorder is a
+                # 256-row permute copy)
+                W = wht_vpu(G)
+                if "trans" in self.ablate:
+                    return jnp.concatenate(
+                        [jnp.maximum(W[k : k + 1] * (1.0 / q), PROB_FLOOR)
+                         for k in n2e], axis=0)
+                return jnp.concatenate(
+                    [jnp.log(jnp.maximum(W[k : k + 1] * (1.0 / q),
+                                         PROB_FLOOR))
+                     for k in n2e], axis=0)
             if "trans" in self.ablate:
                 return jnp.maximum(Q, PROB_FLOOR)
             return jnp.log(jnp.maximum(Q, PROB_FLOOR))
 
-        def softmax_q(X):
+        def softmax_q(X, order=None):
             """exp + normalize over leading q, ALWAYS f32 out (start of the
             prob-domain stretch — see mm_dtype note). X = post - lC <= -log
             PROB_FLOOR ~ 27.6 (post <= 0, lC >= log floor), so the exp
-            cannot overflow f32 and no max-subtraction pass is needed."""
+            cannot overflow f32 and no max-subtraction pass is needed.
+
+            `order` permutes the OUTPUT rows inside the same concat that
+            writes the division result (the exp->nat basis reorder rides
+            the softmax materialization for free, as in the FL kernel)."""
             X = X.astype(jnp.float32)
             Ex = X if "trans" in self.ablate else jnp.exp(X)
-            return Ex / jnp.sum(Ex, axis=0, keepdims=True)
+            S = jnp.sum(Ex, axis=0, keepdims=True)
+            if order is None:
+                return Ex / S
+            return jnp.concatenate([Ex[k : k + 1] / S for k in order],
+                                   axis=0)
 
         # ---- init ----
         lC0 = jnp.zeros((q, dc, TB, m), mdt)
@@ -395,7 +428,11 @@ class ResidentQSPA:
                 Ve = lC + jnp.sum(post, axis=2, keepdims=True)[:, None] * 1e-9
             else:
                 Ve = route_down(post) - lC
-            Ux = softmax_q(rotate(Ve, RBd))
+            # vpu mode: softmax emits NAT order (reorder folded); cn_update
+            # returns exp order (reorder folded into its final log concat).
+            # mxu mode: the reorders live inside the A1/A2 operators.
+            Ux = softmax_q(rotate(Ve, RBd),
+                           order=None if self.wht_impl == "mxu" else e2n)
             if self.has_pads:
                 # pad CN slots: replace by delta0 (the WHT identity)
                 Ux = Ux * real_mask_t + pad_delta_t
@@ -446,10 +483,10 @@ class ResidentQSPA:
         lt = jnp.transpose(llr, (2, 0, 1))                # [q, B, N]
 
         grid = (B // tb,)
-        consts = [
-            jnp.asarray(self.E_j),
-            jnp.asarray(self.A1),
-            jnp.asarray(self.A2),
+        consts = [jnp.asarray(self.E_j)]
+        if self.wht_impl == "mxu":
+            consts += [jnp.asarray(self.A1), jnp.asarray(self.A2)]
+        consts += [
             jnp.asarray(self.rbits_down),
             jnp.asarray(self.rbits_up),
             jnp.asarray(self.pad_delta),
@@ -477,6 +514,11 @@ class ResidentQSPA:
                 pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tb, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ),
+            # large q (the round-5 q <= 256 extension) overflows the default
+            # 16M scoped-vmem limit: the loop keeps ~6 live [q, dc, TB, M]
+            # full tensors; the chip's physical VMEM is >= 120M
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(lt, *consts)
         done = stats[:, 0] > 0.5
@@ -520,6 +562,10 @@ class ResidentQSPAFL(ResidentQSPA):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        if self.q > 32:
+            raise ValueError(
+                "frames-on-lanes layout needs q*TB lanes per row; q > 32 "
+                "uses the checks-on-lanes ResidentQSPA with a small tile")
         q, dc, m, n = self.q, self.dc, self.m, self.n
         g = self.graph
         Mp = -(-m // 8) * 8          # sublane-pad each slot's row block

@@ -60,13 +60,13 @@ def get_decode_fn(dec: DecoderConfig):
         return lambda graph, llr: ems.decode(
             graph, llr, dec.max_iters, nm=dec.nm, offset=dec.offset,
             early_term=dec.early_term, batch_last=True,
-            stats_each_iter=dec.stats_each_iter,
+            stats_each_iter=dec.stats_each_iter, merge=dec.ems_merge,
         )
     if dec.kind == "tems":
         return lambda graph, llr: tems.decode(
             graph, llr, dec.max_iters, offset=dec.offset,
             early_term=dec.early_term, batch_last=True,
-            stats_each_iter=dec.stats_each_iter,
+            stats_each_iter=dec.stats_each_iter, n_r=dec.tems_nr,
         )
     raise ValueError(f"unknown decoder kind {dec.kind!r}")
 

@@ -40,6 +40,14 @@ class DecoderConfig:
     early_term: bool = True
     nm: int = 16                    # EMS truncation
     offset: float = 0.0             # EMS/T-EMS offset correction
+    ems_merge: str = "classic"      # EMS CN merge: "classic" (compensated
+                                    # dense scheme) | "bubble" (list-based
+                                    # staircase merges; the fast large-q
+                                    # variant, own oracle + FER validation)
+    tems_nr: int = 0                # T-EMS truncated-deviation rows: 0 =
+                                    # exact all-row scan; n_r > 0 restricts
+                                    # two-deviation pairs to the n_r most
+                                    # reliable rows (fast GF(64) variant)
     mm_precision: str = "f32"       # resident-kernel message dtype:
                                     # "f32" (default; exact) | "bf16"
                                     # (half the VMEM bytes/pass; opt-in for

@@ -42,12 +42,15 @@ def _xor_conv(p1, p2):
 class OracleDecoder:
     """Flooding-schedule BP with pluggable CN update, one frame at a time."""
 
-    def __init__(self, spec, kind="qspa", nm=None, offset=0.0):
+    def __init__(self, spec, kind="qspa", nm=None, offset=0.0, n_r=0):
         self.spec = spec
         self.gf = get_field(spec.q)
         self.kind = kind
         self.nm = nm
         self.offset = offset
+        # T-EMS truncated-deviation rows (0 = exact all-row scan) — the
+        # co-designed oracle for decoders/tems.py _two_deviation_bubble
+        self.n_r = n_r
 
     # --- shared pieces -------------------------------------------------
     def syndrome_ok(self, hard):
@@ -97,6 +100,8 @@ class OracleDecoder:
                 C = self._cn_qspa(V)
             elif self.kind == "ems":
                 C = self._cn_ems(V)
+            elif self.kind == "ems_bubble":
+                C = self._cn_ems_bubble(V)
             elif self.kind == "ems_legacy":
                 C = self._cn_ems_legacy(V)
             elif self.kind == "tems":
@@ -253,6 +258,84 @@ class OracleDecoder:
             C.append(row)
         return C
 
+    @staticmethod
+    def _top_list_bubble(u, nm):
+        """Sorted top-nm (vals desc, GF idxs), ties -> lower GF index —
+        mirrors nbldpc_tpu.decoders.ems._top_list exactly."""
+        order = np.argsort(-u, kind="stable")[:nm]
+        return u[order].copy(), order.astype(np.int64)
+
+    @staticmethod
+    def _merge_bubble(acc, op, pairs, nm):
+        """Staircase candidate merge — mirrors ems._merge_bubble exactly:
+        candidates enumerated in lex (t, s) order, top-nm by value with
+        ties -> first enumeration position."""
+        av, ai = acc
+        bv, bi = op
+        cv = np.array([av[t] + bv[s] for t, s in pairs])
+        ci = np.array([ai[t] ^ bi[s] for t, s in pairs])
+        keep = np.argsort(-cv, kind="stable")[:nm]
+        return cv[keep], ci[keep]
+
+    @staticmethod
+    def _scatter_bubble(lst, q):
+        """List -> compensated dense — mirrors ems._scatter_list exactly
+        (fill = smallest kept value; largest wins at duplicate indices)."""
+        vals, idxs = lst
+        out = np.full(q, vals[-1])
+        for t in reversed(range(len(vals))):
+            out[idxs[t]] = vals[t]
+        return out
+
+    def _cn_ems_bubble(self, V):
+        """BUBBLE EMS (round 5): list-based staircase merges — the
+        co-designed oracle for nbldpc_tpu.decoders.ems merge="bubble".
+        Sorted nm-lists merge via the static staircase candidate set
+        {(t, s): (t+1)(s+1) <= nm} (sufficient to contain the top-nm of
+        the full nm^2 pair grid for sorted operands); tails are dropped
+        inside merges (unlike the classic compensated-dense scheme) and
+        compensation reappears only in the final dense scatter."""
+        from nbldpc_tpu.decoders.ems import bubble_pairs
+
+        spec, gf = self.spec, self.gf
+        q = spec.q
+        nm = min(self.nm or q, q)
+        NEG = -1e30
+        pairs = bubble_pairs(nm)
+        C = []
+        for m in range(spec.m):
+            vals = spec.row_vals[m]
+            dc = len(vals)
+            U = []
+            for j in range(dc):
+                msg = V[m][j] - V[m][j].max()
+                hinv = gf.inv[vals[j]]
+                perm = gf.mul[hinv, np.arange(q)]
+                U.append(self._top_list_bubble(msg[perm], nm))
+            F = [None] * dc
+            F[1] = U[0]
+            for j in range(2, dc):
+                F[j] = self._merge_bubble(F[j - 1], U[j - 1], pairs, nm)
+            B = [None] * dc
+            B[dc - 2] = U[dc - 1]
+            for j in range(dc - 3, -1, -1):
+                B[j] = self._merge_bubble(B[j + 1], U[j + 1], pairs, nm)
+            row = []
+            for j in range(dc):
+                if j == 0:
+                    lst = B[0]
+                elif j == dc - 1:
+                    lst = F[dc - 1]
+                else:
+                    lst = self._merge_bubble(F[j], B[j], pairs, nm)
+                acc = self._scatter_bubble(lst, q)
+                acc = np.minimum(acc - acc.max() + self.offset, 0.0)
+                acc = np.maximum(acc, NEG)
+                perm = gf.mul[vals[j], np.arange(q)]
+                row.append(acc[perm])
+            C.append(row)
+        return C
+
     def _cn_ems_legacy(self, V):
         """LEGACY round-1 EMS variant (dense-forward partials): kept ONLY to
         quantify its deviation from the classic truncated scheme
@@ -332,21 +415,44 @@ class OracleDecoder:
                 m2x = np.where(
                     is_j[0], t_val[2], np.where(is_j[1], t_val[2], t_val[1])
                 )
-                dw = np.full(q, NEG)
-                dw[0] = 0.0
-                for eta in range(1, q):
-                    best = m1x[eta]                  # one deviation
-                    for e1 in range(1, q):
-                        e2 = eta ^ e1
-                        if e2 == 0 or e1 > e2:
-                            continue
-                        if c1x[e1] != c1x[e2]:
-                            cand = m1x[e1] + m1x[e2]
-                        else:  # column collision: substitute second-best
-                            cand = max(m1x[e1] + m2x[e2], m2x[e1] + m1x[e2])
-                        if cand > best:
-                            best = cand
-                    dw[eta] = best
+                if self.n_r:
+                    # TRUNCATED search (mirrors tems._two_deviation_bubble
+                    # exactly): both deviations restricted to the n_r most
+                    # reliable rows (by m1x, row 0 excluded, ties -> lower
+                    # row); one-deviation term stays exact.
+                    run = m1x.copy()
+                    run[0] = 2.0 * NEG
+                    rows = np.argsort(-run, kind="stable")[: self.n_r]
+                    dw = m1x.copy()
+                    for ti in range(len(rows)):
+                        for si in range(ti + 1, len(rows)):
+                            e1, e2 = int(rows[ti]), int(rows[si])
+                            eta = e1 ^ e2
+                            if c1x[e1] != c1x[e2]:
+                                cand = m1x[e1] + m1x[e2]
+                            else:
+                                cand = max(m1x[e1] + m2x[e2],
+                                           m2x[e1] + m1x[e2])
+                            if cand > dw[eta]:
+                                dw[eta] = cand
+                    dw[0] = 0.0
+                else:
+                    dw = np.full(q, NEG)
+                    dw[0] = 0.0
+                    for eta in range(1, q):
+                        best = m1x[eta]              # one deviation
+                        for e1 in range(1, q):
+                            e2 = eta ^ e1
+                            if e2 == 0 or e1 > e2:
+                                continue
+                            if c1x[e1] != c1x[e2]:
+                                cand = m1x[e1] + m1x[e2]
+                            else:  # column collision: second-best substitute
+                                cand = max(m1x[e1] + m2x[e2],
+                                           m2x[e1] + m1x[e2])
+                            if cand > best:
+                                best = cand
+                        dw[eta] = best
                 # back to normal domain: C_j(a) = dW(a ^ beta ^ z_j)
                 out = dw[np.arange(q) ^ (beta ^ z[j])]
                 out = np.minimum(out - out.max() + self.offset, 0.0)

@@ -254,3 +254,103 @@ def test_k5_tems_kernel_interpret_matches_xla(highq_codes, small_codes, q):
     np.testing.assert_allclose(
         np.array(out), np.array(ref), rtol=1e-5, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: bubble EMS (list-based staircase merges — the fast large-q
+# variant) vs its co-designed oracle (reference_model kind="ems_bubble").
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("q,nm", [(64, 8), (256, 16)])
+def test_ems_bubble_messages_one_iter(highq_codes, q, nm):
+    spec = highq_codes[q]
+    g, cw, llr = _noisy_llrs(spec, 2, 3.0, seed=31)
+    oracle = OracleDecoder(spec, kind="ems_bubble", nm=nm)
+    C1 = _one_iter_messages(
+        g, llr,
+        lambda V, gg: ems.ems_cn_update_bl(
+            jnp.transpose(V, (1, 2, 3, 0)), gg, nm=nm, merge="bubble"
+        ).transpose(3, 0, 1, 2),
+    )
+    for b in range(llr.shape[0]):
+        _, _, _, C_o = oracle.decode(
+            llr[b], max_iters=1, early_term=False, return_messages=True
+        )
+        for m in range(spec.m):
+            for j in range(len(spec.row_cols[m])):
+                np.testing.assert_allclose(
+                    C1[b, m, j], C_o[m][j], rtol=2e-3, atol=2e-3,
+                    err_msg=f"bubble q={q} frame {b} check {m} slot {j}",
+                )
+
+
+@pytest.mark.parametrize("q,nm", [(256, 16)])
+def test_ems_bubble_hard_decisions(highq_codes, q, nm):
+    spec = highq_codes[q]
+    g, cw, llr = _noisy_llrs(spec, 6, 4.0, seed=32)
+    oracle = OracleDecoder(spec, kind="ems_bubble", nm=nm)
+    res = ems.decode(g, jnp.asarray(llr), max_iters=5, nm=nm,
+                     merge="bubble")
+    for b in range(llr.shape[0]):
+        hard_o, done_o, iters_o = oracle.decode(llr[b], max_iters=5)
+        np.testing.assert_array_equal(
+            np.array(res.hard)[b], hard_o, err_msg=f"frame {b}")
+        assert bool(np.array(res.done)[b]) == done_o, f"frame {b}"
+        assert int(np.array(res.iters)[b]) == iters_o, f"frame {b}"
+
+
+# ---------------------------------------------------------------------------
+# Round 5: truncated-deviation T-EMS (n_r most reliable rows) vs its
+# co-designed oracle (reference_model n_r=...). Semantics differ from the
+# exact scan; FER validation lives in benchmarks/results/ (fer_curves_r5).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("q,n_r", [(16, 4), (64, 8)])
+def test_tems_truncated_messages_one_iter(highq_codes, small_codes, q, n_r):
+    spec = small_codes["gf16_tiny"] if q == 16 else highq_codes[64]
+    g, cw, llr = _noisy_llrs(spec, 2, 3.0, seed=41)
+    oracle = OracleDecoder(spec, kind="tems", n_r=n_r)
+    C1 = _one_iter_messages(
+        g, llr, lambda V, gg: tems.tems_cn_update(V, gg, n_r=n_r))
+    for b in range(llr.shape[0]):
+        _, _, _, C_o = oracle.decode(
+            llr[b], max_iters=1, early_term=False, return_messages=True
+        )
+        for m in range(spec.m):
+            for j in range(len(spec.row_cols[m])):
+                np.testing.assert_allclose(
+                    C1[b, m, j], C_o[m][j], rtol=2e-3, atol=2e-3,
+                    err_msg=f"trunc q={q} frame {b} check {m} slot {j}",
+                )
+
+
+def test_tems_truncated_hard_decisions(small_codes):
+    spec = small_codes["gf16_tiny"]
+    g, cw, llr = _noisy_llrs(spec, 12, 3.0, seed=42)
+    oracle = OracleDecoder(spec, kind="tems", n_r=4)
+    res = tems.decode(g, jnp.asarray(llr), max_iters=5, n_r=4,
+                      use_pallas="no")
+    for b in range(llr.shape[0]):
+        hard_o, done_o, iters_o = oracle.decode(llr[b], max_iters=5)
+        np.testing.assert_array_equal(
+            np.array(res.hard)[b], hard_o, err_msg=f"frame {b}")
+        assert bool(np.array(res.done)[b]) == done_o, f"frame {b}"
+
+
+def test_tems_truncated_k5_kernel_interpret(highq_codes):
+    """The truncated path must run inside the K5 Pallas kernel (no
+    data-dependent permutes, so the same core lowers) — interpret mode vs
+    the XLA path, exact."""
+    from nbldpc_tpu.kernels.cn_tems import tems_cn_update_bl_pallas
+
+    spec = highq_codes[64]
+    g, cw, llr = _noisy_llrs(spec, 8, 3.0, seed=43)
+    U = jnp.asarray(
+        np.random.default_rng(7).normal(size=(spec.m, g.dc_max, 64, 8))
+    ).astype(jnp.float32)
+    ref = tems.tems_cn_update_bl(U, g, offset=0.1, n_r=8)
+    out = tems_cn_update_bl_pallas(U, g, offset=0.1, n_r=8, interpret=True)
+    np.testing.assert_allclose(np.array(ref), np.array(out), rtol=1e-6,
+                               atol=1e-6)
