@@ -60,10 +60,13 @@ def main():
     elif args.decoder == "ems":
         from nbldpc_tpu.decoders import ems
 
-        if args.impl == "list":
+        if args.impl in ("list", "listx"):
+            # "list" = bubble merge, kernel-or-XLA per platform (auto);
+            # "listx" = bubble merge forced onto the XLA path
+            up = "no" if args.impl == "listx" else "auto"
             fn = jax.jit(lambda x: ems.decode(
                 graph, x, max_iters=args.iters, nm=args.nm,
-                early_term=False, merge="bubble",
+                early_term=False, merge="bubble", use_pallas=up,
                 stats_each_iter=False).hard)
         else:
             use_pallas = {"kernel": "yes", "xla": "no"}.get(args.impl,

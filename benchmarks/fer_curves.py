@@ -43,6 +43,25 @@ SWEEPS = [
     ("gf256_ems_nm16_10it", "gf256_n255_k175",
      dict(kind="ems", nm=16, max_iters=10, offset=0.1),
      [2.0, 2.5, 3.0], 128),
+    # --- round-5 variants: each must match its baseline's curve ---
+    # bubble EMS vs classic EMS (same code/SNRs)
+    ("gf256_ems_bubble_10it", "gf256_n255_k175",
+     dict(kind="ems", nm=16, max_iters=10, offset=0.1, ems_merge="bubble"),
+     [2.0, 2.5, 3.0], 128),
+    # truncated-deviation T-EMS vs the exact scan
+    ("gf64_tems_nr8_20it", "gf64_n576_k480",
+     dict(kind="tems", max_iters=20, offset=2.0, tems_nr=8),
+     [2.5, 3.0, 3.5, 4.0], 256),
+    ("gf64_tems_nr4_20it", "gf64_n576_k480",
+     dict(kind="tems", max_iters=20, offset=2.0, tems_nr=4),
+     [2.5, 3.0, 3.5, 4.0], 256),
+    # QC codes vs the PEG codes (same shape/decoder/SNRs)
+    ("gf16_qspa_qc_slot_50it", "gf16_n204_k102_qc",
+     dict(kind="qspa", max_iters=50),
+     [1.0, 1.5, 2.0, 2.5], 4096),
+    ("gf4_qspa_qc_20it", "gf4_n96_k48_qc",
+     dict(kind="qspa", max_iters=20),
+     [1.5, 2.0, 2.5, 3.0], 2048),
 ]
 
 

@@ -40,6 +40,21 @@ CONFIGS = [
     # BASELINE config 5: multi-SNR sweep, all SNR points in one compiled step
     ("gf256_qspa_10it_4snr", "gf256_n255_k175", dict(kind="qspa"), 10, 128, 4),
     ("gf256_ems_nm16_10it_4snr", "gf256_n255_k175", dict(kind="ems", nm=16), 10, 128, 4),
+    # --- round-5 variants ---
+    # bubble EMS (list-based staircase merges + fused CN kernel)
+    ("gf256_ems_bubble_10it", "gf256_n255_k175",
+     dict(kind="ems", nm=16, ems_merge="bubble"), 10, 128, 1),
+    # truncated-deviation T-EMS
+    ("gf64_tems_nr8_20it", "gf64_n576_k480",
+     dict(kind="tems", tems_nr=8), 20, 256, 1),
+    ("gf64_tems_nr4_20it", "gf64_n576_k480",
+     dict(kind="tems", tems_nr=4), 20, 256, 1),
+    # QC codes (static-rotation resident kernels) — A/B vs the PEG rows
+    ("gf16_qspa_qc_slot_50it", "gf16_n204_k102_qc", dict(kind="qspa"),
+     50, 4096, 1),
+    ("gf4_qspa_qc_20it", "gf4_n96_k48_qc", dict(kind="qspa"), 20, 4096, 1),
+    ("gf16_ems_qc_slot_20it", "gf16_n204_k102_qc", dict(kind="ems", nm=16),
+     20, 8192, 1),
 ]
 
 

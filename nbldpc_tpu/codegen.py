@@ -124,6 +124,77 @@ def make_peg_code(
     raise RuntimeError(f"could not build full-rank code ({n},{n - m}) over GF({q})")
 
 
+def make_qc_code(
+    n: int, m: int, q: int, z: int, dv: int = 2, seed: int = 0,
+    require_full_rank: bool = True, weight_mode: str = "circulant",
+) -> CodeSpec:
+    """Quasi-cyclic NB-LDPC code: H is an (m/z) x (n/z) array of z x z
+    circulant blocks (identity shifted by a seeded exponent), each circulant
+    carrying ONE uniform GF(q)* weight (SURVEY.md C2 / round-4 verdict item
+    6; ROOFLINE.md path 3).
+
+    Why: per-circulant-uniform weights make the per-edge GF rotation amount
+    constant over aligned row blocks, so the resident kernels' conditional
+    rotation blends collapse to STATIC rolls (1 materialization per
+    rotation instead of rot_bits blend stages) — a code-construction lever
+    on the kernels' largest measured cost bucket. FER must be re-validated
+    against the PEG codes (benchmarks/fer_curves.py --qc).
+
+    The z x z macro structure is built with the same degree-balanced PEG
+    greedy on the base graph (macro-girth maximization lifts to girth
+    lower bounds on the expanded graph); shifts and weights are seeded.
+
+    weight_mode: "circulant" = one weight per circulant (rotation amounts
+    uniform over z-row blocks); "slot" = one weight per sorted slot
+    position shared by ALL circulants in that column position (rotation
+    amounts uniform over each entire slot block — the form the resident
+    kernels turn into single static rolls, since slot blocks are always
+    sublane-aligned regardless of z). "slot" trades edge-label diversity
+    for kernel speed and must clear FER validation.
+    """
+    if n % z or m % z:
+        raise ValueError(f"z={z} must divide n={n} and m={m}")
+    gf = get_field(q)
+    nb, mb = n // z, m // z
+    if mb < dv:
+        raise ValueError("base graph needs at least dv check blocks")
+    dv_arr = np.full(nb, dv, dtype=np.int64)
+    for attempt in range(32):
+        rng = np.random.default_rng([seed, attempt, n, m, q, z, 0x9C])
+        base = _peg_structure(nb, mb, dv_arr, rng)     # per-base-row cols
+        for val_try in range(8):
+            vrng = np.random.default_rng([seed, attempt, val_try, z, 0xC1])
+            row_cols = [[] for _ in range(m)]
+            row_vals = [[] for _ in range(m)]
+            slot_w = [int(vrng.integers(1, q)) for _ in range(max(
+                len(b) for b in base))]
+            for bi in range(mb):
+                for sj, bj in enumerate(sorted(base[bi])):
+                    shift = int(vrng.integers(z))
+                    if weight_mode == "slot":
+                        w = slot_w[sj]
+                    else:
+                        w = int(vrng.integers(1, q))
+                    for r in range(z):
+                        row_cols[bi * z + r].append(bj * z + (r + shift) % z)
+                        row_vals[bi * z + r].append(w)
+            rc, rv = [], []
+            for mi in range(m):
+                order = np.argsort(row_cols[mi], kind="stable")
+                rc.append(np.asarray(row_cols[mi], np.int32)[order])
+                rv.append(np.asarray(row_vals[mi], np.int32)[order])
+            spec = CodeSpec(q=q, n=n, m=m, row_cols=tuple(rc),
+                            row_vals=tuple(rv))
+            if not require_full_rank:
+                return spec
+            H = spec.dense_h()
+            _, rank, _ = gf_row_reduce(H, gf)
+            if rank == m:
+                return spec
+    raise RuntimeError(
+        f"could not build full-rank QC code ({n},{n - m}) over GF({q})")
+
+
 # The BASELINE.json config code shapes (SURVEY.md §6), regenerated:
 STANDARD_CODES = {
     # name: (n, m, q, dv, seed)
@@ -133,7 +204,21 @@ STANDARD_CODES = {
     "gf256_n255_k175": (255, 80, 256, 2, 1),
 }
 
+# QC twins of the BASELINE shapes (round 5, VERDICT item 6): same (n, k, q),
+# quasi-cyclic structure. "slot" weight mode where it reaches full rank
+# (GF(16): z=34 — z=17 and per-slot GF(4) weights are rank-blocked, the
+# diversity cost of slot uniformity is real); "circulant" mode with z=8 for
+# GF(4) (8-aligned blocks still hit the kernels' static rotation path).
+STANDARD_CODES_QC = {
+    # name: (n, m, q, z, dv, seed, weight_mode)
+    "gf4_n96_k48_qc": (96, 48, 4, 8, 2, 1, "circulant"),
+    "gf16_n204_k102_qc": (204, 102, 16, 34, 2, 1, "slot"),
+}
+
 
 def build_standard_code(name: str) -> CodeSpec:
+    if name in STANDARD_CODES_QC:
+        n, m, q, z, dv, seed, wm = STANDARD_CODES_QC[name]
+        return make_qc_code(n, m, q, z, dv=dv, seed=seed, weight_mode=wm)
     n, m, q, dv, seed = STANDARD_CODES[name]
     return make_peg_code(n, m, q, dv=dv, seed=seed)

@@ -250,9 +250,24 @@ def bubble_pairs(nm: int):
             if (t + 1) * (s + 1) <= nm]
 
 
+def _take_static(x: jnp.ndarray, T, axis: int) -> jnp.ndarray:
+    """Gather STATIC indices T along `axis` as a concat of unit slices —
+    the Mosaic-safe form the Pallas bubble kernel needs (no gathers);
+    XLA folds it into the consumer just as well as jnp.take."""
+    ax = axis % x.ndim
+    return jnp.concatenate(
+        [jax.lax.index_in_dim(x, int(t), ax, keepdims=True) for t in T],
+        axis=ax)
+
+
 def _top_list(x: jnp.ndarray, nm: int, q: int, axis: int):
     """Top-nm (vals, idxs) of dense x along `axis`, descending, ties ->
-    lower GF index (stable-sort order). vals/idxs have nm at `axis`."""
+    lower GF index (stable-sort order). vals/idxs have nm at `axis`.
+
+    Unrolled masked-iota max/argmax/remove steps. A lax.top_k + gather
+    form was measured 5x SLOWER on TPU (TopK lowers to a sort and the
+    index gather is per-element): loops of dense reduces beat sorts here.
+    """
     iota = _iota(q, x.ndim, axis)
     run = x
     vals, idxs = [], []
@@ -270,14 +285,17 @@ def _top_list(x: jnp.ndarray, nm: int, q: int, axis: int):
 def _merge_bubble(acc, op, TS, nm: int, axis: int):
     """Merge two sorted nm-lists: top-nm of the staircase candidates
     (values a_t + b_s at GF indices ai_t ^ bi_s). Ties -> first candidate
-    in the lex (t, s) enumeration. Returns (vals, idxs) sorted desc."""
+    in the lex (t, s) enumeration. Returns (vals, idxs) sorted desc.
+
+    All ops on [.., P=|staircase|, ..] tensors (P = 50 for nm = 16) —
+    the point of the bubble scheme: no dense-q work inside merges."""
     accV, accI = acc
     opV, opI = op
     T, S = TS
-    av = jnp.take(accV, T, axis=axis)
-    ai = jnp.take(accI, T, axis=axis)
-    bv = jnp.take(opV, S, axis=axis)
-    bi = jnp.take(opI, S, axis=axis)
+    av = _take_static(accV, T, axis)
+    ai = _take_static(accI, T, axis)
+    bv = _take_static(opV, S, axis)
+    bi = _take_static(opI, S, axis)
     cv = av + bv                                       # [.., P, ..]
     ci = ai ^ bi
     P = len(T)
@@ -293,7 +311,8 @@ def _merge_bubble(acc, op, TS, nm: int, axis: int):
         run = jnp.where(sel, NEG, run)
         vals.append(mx)
         idxs.append(pick.astype(jnp.int32))
-    return jnp.concatenate(vals, axis), jnp.concatenate(idxs, axis)
+    return (jnp.concatenate(vals, axis),
+            jnp.concatenate(idxs, axis).astype(jnp.int32))
 
 
 def _scatter_list(lst, q: int, axis: int):
@@ -316,17 +335,32 @@ def _scatter_list(lst, q: int, axis: int):
     return out
 
 
-def _cn_ems_bubble_core(Ujs: list, nm: int, q: int, axis: int) -> list:
+def _cn_ems_bubble_core(Ujs: list, nm: int, q: int, axis: int,
+                        stacked=None, dc_axis: int = 0) -> list:
     """Bubble forward/backward EMS over one check's dc operands.
 
     Same F/B recursion shape as _cn_ems_core; operands live as sorted
-    nm-lists throughout, densified only for the final edge outputs."""
+    nm-lists throughout, densified only for the final edge outputs.
+
+    If `stacked` is given (the dense operands still carrying their dc axis
+    at `dc_axis`), the input extraction runs ONCE batched over dc instead
+    of per slot — identical per-element semantics, ~dc x fewer ops (the
+    extraction loop is the measured hot spot of the fused kernel)."""
     dc = len(Ujs)
     assert dc >= 2
     pairs = bubble_pairs(nm)
     TS = (np.array([t for t, _ in pairs]), np.array([s for _, s in pairs]))
 
-    quads = [_top_list(u, nm, q, axis) for u in Ujs]
+    if stacked is not None:
+        sv, si = _top_list(stacked, nm, q, axis + (dc_axis <= axis))
+        dax = dc_axis % stacked.ndim
+        quads = [
+            (jnp.squeeze(jax.lax.index_in_dim(sv, j, dax), dax),
+             jnp.squeeze(jax.lax.index_in_dim(si, j, dax), dax))
+            for j in range(dc)
+        ]
+    else:
+        quads = [_top_list(u, nm, q, axis) for u in Ujs]
     F = [None] * dc
     F[1] = quads[0]
     for j in range(2, dc):
@@ -386,7 +420,8 @@ def ems_cn_update_bl(
     U = U - jnp.max(U, axis=2, keepdims=True)
     Ujs = [U[:, j] for j in range(graph.dc_max)]              # [M, q, B]
     if merge == "bubble":
-        outs = _cn_ems_bubble_core(Ujs, min(nm, q), q, axis=1)
+        outs = _cn_ems_bubble_core(Ujs, min(nm, q), q, axis=1,
+                                   stacked=U, dc_axis=1)
     else:
         outs = _cn_ems_core(Ujs, min(nm, q), q, axis=1)
     return _postprocess(jnp.stack(outs, axis=1), offset, axis=2)
@@ -413,8 +448,18 @@ def decode(
         from nbldpc_tpu.decoders.qspa import _on_tpu, _resident_tile
 
         if merge == "bubble":
-            cn = functools.partial(ems_cn_update_bl, nm=nm, offset=offset,
-                                   merge="bubble")
+            if use_pallas == "auto":
+                use_pallas = "yes" if _on_tpu() else "no"
+            if use_pallas == "yes":
+                from nbldpc_tpu.kernels.cn_ems import (
+                    ems_cn_update_bl_bubble_pallas,
+                )
+
+                cn = functools.partial(ems_cn_update_bl_bubble_pallas,
+                                       nm=nm, offset=offset)
+            else:
+                cn = functools.partial(ems_cn_update_bl, nm=nm,
+                                       offset=offset, merge="bubble")
             return common.decode_bl(graph, llr, cn, max_iters, early_term,
                                     stats_each_iter=stats_each_iter)
         if use_pallas == "auto":

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nbldpc_tpu.decoders.ems import _cn_ems_core, _postprocess
+from nbldpc_tpu.decoders.ems import (
+    _cn_ems_bubble_core, _cn_ems_core, _postprocess,
+)
 
 
 def _xor_take_roll(x: jnp.ndarray, h: int, q: int, axis: int) -> jnp.ndarray:
@@ -93,6 +95,22 @@ def _cn_kernel(u_ref, out_ref, *, q: int, nm: int, offset: float,
     U = U - jnp.max(U, axis=2, keepdims=True)
     Ujs = [U[:, j] for j in range(dc)]                # [TM, q, TB]
     outs = _cn_ems_core(Ujs, nm, q, axis=1, xor_take=_XOR_IMPLS[xor_impl])
+    out_ref[...] = _postprocess(jnp.stack(outs, axis=1), offset, axis=2)
+
+
+def _cn_kernel_bubble(u_ref, out_ref, *, q: int, nm: int, offset: float):
+    """Fused BUBBLE EMS CN update (round 5): extraction, staircase merges
+    and compensation scatter all in VMEM, so the nm-step extraction loops
+    that dominate the XLA bubble path's HBM traffic (measured ~30 ms/iter
+    at GF(256) B=512) run at VMEM bandwidth, and the merges themselves
+    touch only [TM, |staircase|, TB] tensors. Algorithm verbatim
+    decoders/ems.py::_cn_ems_bubble_core (already Mosaic-safe: unit-slice
+    concats, iota masks — no gathers, no sorts)."""
+    U = u_ref[...]                                    # [TM, dc, q, TB]
+    dc = U.shape[1]
+    U = U - jnp.max(U, axis=2, keepdims=True)
+    Ujs = [U[:, j] for j in range(dc)]                # [TM, q, TB]
+    outs = _cn_ems_bubble_core(Ujs, nm, q, axis=1, stacked=U, dc_axis=1)
     out_ref[...] = _postprocess(jnp.stack(outs, axis=1), offset, axis=2)
 
 
@@ -180,6 +198,48 @@ def ems_cn_update_bl_pallas(
     return pl.pallas_call(
         functools.partial(_cn_kernel, q=q, nm=nm, offset=offset,
                           xor_impl=xor_impl),
+        out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
+        grid=grid,
+        in_specs=[spec],
+        out_specs=spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(U)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("graph", "nm", "offset", "interpret")
+)
+def ems_cn_update_bl_bubble_pallas(
+    U: jnp.ndarray,
+    graph=None,
+    nm: int = 16,
+    offset: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused bubble-EMS CN update. U [M, dc, q, B] f32 log-domain x-domain.
+
+    Same tiling discipline as the classic K2 wrapper; the bubble path's
+    live-array count is dominated by the dc extracted lists plus one dense
+    staging array per in-flight merge — far below the Gray-chain model, so
+    larger M tiles fit."""
+    M, dc, q, B = U.shape
+    nm = min(nm, q)
+    TB = _pick_lane_tile(B, 256)
+    live = 14.0
+    tb_pad = max(128, TB)
+    row_bytes = live * dc * (-(-q // 8) * 8) * tb_pad * 4 // TB
+    tm_target = int(VMEM_BUDGET / (row_bytes * TB))
+    if tm_target < 1:
+        TB = _pick_lane_tile(B, max(128, int(VMEM_BUDGET / row_bytes)))
+        tm_target = 1
+    TM = _pick_tile(M, tm_target)
+    grid = (M // TM, B // TB)
+    spec = pl.BlockSpec(
+        (TM, dc, q, TB), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_cn_kernel_bubble, q=q, nm=nm, offset=offset),
         out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
         grid=grid,
         in_specs=[spec],

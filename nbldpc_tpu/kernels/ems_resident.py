@@ -111,6 +111,25 @@ class ResidentEMS(ResidentQSPAFL):
         # kernel — the const list/specs are inherited unchanged
         self.rbits_down2 = bits2(e_down)
         self.rbits_up2 = bits2(e_up)
+        # STATIC permutation path (round 5, mirrors the parent's
+        # rot_static): where the edge weight is uniform over aligned 8-row
+        # chunks (QC codes), the conditional multiply-by-alpha^(2^t) blend
+        # stages collapse to ONE static lane-group permute per chunk (the
+        # full multiply-by-h map). Chunk with the weight itself as the
+        # uniformity key (pads default to weight 1 = identity; their
+        # values are overwritten by the delta fix / never routed up).
+        self.perm_static = None
+        if q > 2:
+            wch = self._rot_chunks(np.maximum(g.cn_w_np, 1), g.cn_mask_np)
+            if wch is not None:
+                wch = [(r0, r1, max(1, w)) for (r0, r1, w) in wch]
+                self.perm_static = (
+                    [(r0, r1,
+                      [int(gf.mul[gf.inv[w], x]) for x in range(q)])
+                     for (r0, r1, w) in wch],
+                    [(r0, r1, [int(gf.mul[w, x]) for x in range(q)])
+                     for (r0, r1, w) in wch],
+                )
         # EMS pads: EVERY pad row (irregular-code slots and structural
         # mi >= m rows) must hold the merge identity delta0 = [0, NEG, ...]
         # — a NEG-free garbage row would feed max-plus merges of real rows'
@@ -159,9 +178,19 @@ class ResidentEMS(ResidentQSPAFL):
             return prior + r.astype(mdt)
 
         def gperm(X, RB):
-            """Conditional multiply permutation across lane groups."""
+            """Conditional multiply permutation across lane groups. With
+            per-slot-uniform weights (perm_static), ONE static lane-group
+            permute per slot block replaces all blend stages."""
             if "rot" in self.ablate:
                 return X
+            if self.perm_static is not None:
+                chunks = self.perm_static[0 if RB is RBd else 1]
+                ident = list(range(q))
+                return jnp.concatenate([
+                    X[r0:r1] if mp == ident else
+                    jnp.concatenate([grp(X[r0:r1], mp[x])
+                                     for x in range(q)], axis=1)
+                    for (r0, r1, mp) in chunks], axis=0)
             one = jnp.asarray(1.0, X.dtype)
             for t in range(self.rot_bits):
                 mm = self.mult_maps[t]

@@ -601,6 +601,16 @@ class ResidentQSPAFL(ResidentQSPA):
         for j in range(dc):
             real[j * Mp:j * Mp + m, 0] = cn_mask[:, j]
         self.real2 = real
+        # STATIC rotation path (round 5, VERDICT item 6): when the rotation
+        # amount is uniform over aligned 8-row chunks of the edge-slot rows
+        # (QC codes: per-circulant weights with z % 8 == 0, or per-slot
+        # weights at any z — codegen.make_qc_code), the rot_bits
+        # conditional blend stages collapse to ONE static lane-group roll
+        # per uniform chunk (8-row chunks are always sublane-tile-aligned).
+        # Pad rows take their chunk's roll — their values are overwritten
+        # by the delta fix (down) / never routed (up). fp-exact vs the
+        # blend path: blends select with exact 0/1 products, so both
+        # compute the identical permutation.
         # radix-4 rotation digits (rot_impl="b4"): one-hot masks per base-4
         # digit of the rotation amount — 2 blend stages instead of 4 for
         # q=16, halving the rotation's write passes (ROOFLINE.md item 2)
@@ -625,6 +635,38 @@ class ResidentQSPAFL(ResidentQSPA):
         synk2 = np.zeros((dc, self.p, Mp), np.int32)
         synk2[:, :, :m] = self.syn_k_jpm
         self.synk2 = synk2
+        self.rot_static = None
+        if q > 2:
+            self.rot_static = (self._rot_chunks(r_down, cn_mask),
+                               self._rot_chunks(r_up, cn_mask))
+            if self.rot_static[0] is None or self.rot_static[1] is None:
+                self.rot_static = None
+
+    def _rot_chunks(self, r, cn_mask):
+        """Partition the E2 edge-slot rows into aligned chunks of uniform
+        rotation amount, or None if any 8-row chunk mixes amounts (pad
+        rows are don't-cares). Returns [(row0, row1, amount), ...]."""
+        Mp, dc, m = self.m_pad, self.dc, self.m
+        full = np.zeros((dc, Mp), np.int64)
+        mask = np.zeros((dc, Mp), bool)
+        for j in range(dc):
+            full[j, :m] = r[:, j]
+            mask[j, :m] = cn_mask[:, j]
+        chunks = []
+        for j in range(dc):
+            for c in range(0, Mp, 8):
+                rows = full[j, c:c + 8]
+                real = mask[j, c:c + 8]
+                vals = rows[real]
+                if vals.size and not (vals == vals[0]).all():
+                    return None
+                amt = int(vals[0]) if vals.size else 0
+                base = j * Mp + c
+                if chunks and chunks[-1][1] == base and chunks[-1][2] == amt:
+                    chunks[-1] = (chunks[-1][0], base + 8, amt)
+                else:
+                    chunks.append((base, base + 8, amt))
+        return chunks
 
     # ---- kernel body (2D frames-on-lanes) -------------------------------
 
@@ -691,9 +733,25 @@ class ResidentQSPAFL(ResidentQSPA):
             """Exp-order GF rotation of lane groups 1..q-1, per-row bits
             (binary conditional rolls), or per-row radix-4 digits: half the
             stages, 4-way one-hot blends — exact either way (every product
-            has a 0.0/1.0 operand and the masks are one-hot)."""
+            has a 0.0/1.0 operand and the masks are one-hot). With
+            per-slot-uniform weights (rot_static), ONE static lane-group
+            roll per slot block replaces all blend stages."""
             if "rot" in self.ablate:
                 return X
+            if self.rot_static is not None:
+                chunks = self.rot_static[0 if RB is RBd else 1]
+                pieces = []
+                for (r0, r1, amt) in chunks:
+                    blk = X[r0:r1]
+                    sstat = amt % L
+                    if sstat == 0:
+                        pieces.append(blk)
+                        continue
+                    Zb = blk[:, TB:]
+                    cut = (L - sstat) * TB
+                    pieces.append(jnp.concatenate(
+                        [blk[:, :TB], Zb[:, cut:], Zb[:, :cut]], axis=1))
+                return jnp.concatenate(pieces, axis=0)
             Z = X[:, TB:]
             one = jnp.asarray(1.0, X.dtype)
             if self.rot_impl == "b4":
@@ -760,9 +818,9 @@ class ResidentQSPAFL(ResidentQSPA):
                 F = Ux_nat
             else:
                 F = wht_vpu(Ux_nat)
-            if "lou" in self.ablate:
-                G = F
-            else:
+            def lou_concat(F):
+                # concat-form leave-one-out (kept for the ablation probes
+                # so "wht"/"lou" deltas keep their round-4 meaning)
                 Fr = [F[j * Mp:(j + 1) * Mp] for j in range(dc)]
                 if dc > 5:
                     suf = [None] * dc
@@ -776,30 +834,60 @@ class ResidentQSPAFL(ResidentQSPA):
                     if dc > 5:
                         sj = suf[j]
                     else:
-                        # direct suffix recompute, same association as the
-                        # list sweep (one fewer full tensor live in VMEM)
                         sj = jnp.ones_like(Fr[0])
                         for k in range(dc - 1, j, -1):
                             sj = sj * Fr[k]
                     Gr.append(runp * sj)
                     runp = runp * Fr[j]
-                G = jnp.concatenate(Gr, axis=0)
+                return jnp.concatenate(Gr, axis=0)
+
             if "wht" in self.ablate:
-                Q = G
+                Q = F if "lou" in self.ablate else lou_concat(F)
                 if "trans" in self.ablate:
                     return jnp.maximum(Q, PROB_FLOOR)
                 return jnp.log(jnp.maximum(Q, PROB_FLOOR))
-            # inverse WHT, then fold the nat->exp regroup + 1/q scale +
-            # floor + log into the pieces of ONE output concat (per-element
-            # arithmetic unchanged -> fp-exact vs the separate-pass form)
-            W = wht_vpu(G)
-            if "trans" in self.ablate:
+            if "lou" in self.ablate:
+                W = wht_vpu(F)
                 return jnp.concatenate(
-                    [jnp.maximum(grp(W, k) * (1.0 / q), PROB_FLOOR)
+                    [jnp.log(jnp.maximum(grp(W, k) * (1.0 / q), PROB_FLOOR))
                      for k in n2e], axis=1)
-            return jnp.concatenate(
-                [jnp.log(jnp.maximum(grp(W, k) * (1.0 / q), PROB_FLOOR))
-                 for k in n2e], axis=1)
+            # Leave-one-out products fused into the inverse-WHT stage-1
+            # reads (round 5, VERDICT item 5 / ROOFLINE flagship path 3):
+            # the WHT acts on lanes only, so it commutes with row-block
+            # concatenation — run it per slot block with the product chain
+            # runp*sj as the stage-1 operand expression, deleting the full
+            # [E2, q*TB] G concat write. Per-element arithmetic and
+            # association are unchanged -> fp-exact vs the concat form.
+            Fr = [F[j * Mp:(j + 1) * Mp] for j in range(dc)]
+            if dc > 5:
+                suf = [None] * dc
+                run = jnp.ones_like(Fr[0])
+                for j in range(dc - 1, -1, -1):
+                    suf[j] = run
+                    run = run * Fr[j]
+            runp = jnp.ones_like(Fr[0])
+            pieces = []
+            for j in range(dc):
+                if dc > 5:
+                    sj = suf[j]
+                else:
+                    # direct suffix recompute, same association as the
+                    # list sweep (one fewer full tensor live in VMEM)
+                    sj = jnp.ones_like(Fr[0])
+                    for k in range(dc - 1, j, -1):
+                        sj = sj * Fr[k]
+                Wj = wht_vpu(runp * sj)
+                runp = runp * Fr[j]
+                if "trans" in self.ablate:
+                    pieces.append(jnp.concatenate(
+                        [jnp.maximum(grp(Wj, k) * (1.0 / q), PROB_FLOOR)
+                         for k in n2e], axis=1))
+                else:
+                    pieces.append(jnp.concatenate(
+                        [jnp.log(jnp.maximum(grp(Wj, k) * (1.0 / q),
+                                             PROB_FLOOR))
+                         for k in n2e], axis=1))
+            return jnp.concatenate(pieces, axis=0)
 
         def hard_of(post2):
             """[N, q*TB] -> natural symbols [N, TB] f32; descending-symbol

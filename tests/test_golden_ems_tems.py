@@ -354,3 +354,20 @@ def test_tems_truncated_k5_kernel_interpret(highq_codes):
     out = tems_cn_update_bl_pallas(U, g, offset=0.1, n_r=8, interpret=True)
     np.testing.assert_allclose(np.array(ref), np.array(out), rtol=1e-6,
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("q,nm", [(64, 8), (256, 16)])
+def test_bubble_kernel_interpret_matches_xla(highq_codes, q, nm):
+    """Fused bubble CN kernel (interpret) vs the XLA bubble path: exact."""
+    from nbldpc_tpu.kernels.cn_ems import ems_cn_update_bl_bubble_pallas
+
+    spec = highq_codes[q]
+    g = TannerGraph(spec)
+    U = jnp.asarray(
+        np.random.default_rng(11).normal(size=(spec.m, g.dc_max, q, 8))
+    ).astype(jnp.float32)
+    ref = ems.ems_cn_update_bl(U, g, nm=nm, offset=0.2, merge="bubble")
+    out = ems_cn_update_bl_bubble_pallas(U, g, nm=nm, offset=0.2,
+                                         interpret=True)
+    np.testing.assert_allclose(np.array(ref), np.array(out), rtol=1e-6,
+                               atol=1e-6)

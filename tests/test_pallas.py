@@ -562,3 +562,61 @@ def test_resident_kernels_dv3_gf4_interpret(small_codes):
         hard, done, iters = dec(llr, tb=tb, interpret=True)
         assert np.mean(np.array(ref.hard) == np.array(hard)) > 0.99
         assert np.mean(np.array(ref.done) == np.array(done)) > 0.95
+
+
+def test_qc_slot_uniform_static_rotation_interpret():
+    """QC code with per-slot-uniform weights: both resident kernels must
+    take their STATIC rotation/permutation paths and stay exact vs the
+    blend paths and the XLA reference (round-5 VERDICT item 6)."""
+    from nbldpc_tpu.codegen import make_qc_code
+    from nbldpc_tpu.decoders import ems
+    from nbldpc_tpu.kernels.ems_resident import ResidentEMS
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPAFL
+
+    spec = make_qc_code(48, 24, 16, z=8, dv=2, seed=3, weight_mode="slot")
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 16, 2.5, seed=19)
+
+    d_st = ResidentQSPAFL(g, max_iters=8, early_term=True)
+    assert d_st.rot_static is not None, "slot-uniform code must go static"
+    d_bl = ResidentQSPAFL(g, max_iters=8, early_term=True)
+    d_bl.rot_static = None                      # force the blend path
+    ref = qspa.decode(g, llr, max_iters=8, early_term=True, cn_impl="xla")
+    h0, dn0, it0 = d_st(llr, tb=16, interpret=True)
+    h1, dn1, it1 = d_bl(llr, tb=16, interpret=True)
+    np.testing.assert_array_equal(np.array(h0), np.array(h1))
+    np.testing.assert_array_equal(np.array(dn0), np.array(dn1))
+    np.testing.assert_array_equal(np.array(it0), np.array(it1))
+    np.testing.assert_array_equal(np.array(ref.hard), np.array(h0))
+    np.testing.assert_array_equal(np.array(ref.done), np.array(dn0))
+
+    e_st = ResidentEMS(g, 8, nm=16, early_term=True)
+    assert e_st.perm_static is not None
+    e_bl = ResidentEMS(g, 8, nm=16, early_term=True)
+    e_bl.perm_static = None
+    ref_e = ems.decode(g, llr, max_iters=8, nm=16, early_term=True,
+                       use_pallas="no")
+    h2, dn2, _ = e_st(llr, tb=16, interpret=True)
+    h3, dn3, _ = e_bl(llr, tb=16, interpret=True)
+    np.testing.assert_array_equal(np.array(h2), np.array(h3))
+    np.testing.assert_array_equal(np.array(dn2), np.array(dn3))
+    np.testing.assert_array_equal(np.array(ref_e.hard), np.array(h2))
+
+
+def test_qc_code_properties():
+    """QC constructor: full rank (encoder exists), H*encode(u) == 0, and
+    per-slot weights actually uniform in slot mode."""
+    from nbldpc_tpu.codegen import make_qc_code
+    from nbldpc_tpu.encode import Encoder
+
+    spec = make_qc_code(48, 24, 16, z=8, dv=2, seed=2, weight_mode="slot")
+    enc = Encoder(spec)
+    g = TannerGraph(spec)
+    u = jax.random.randint(jax.random.PRNGKey(3), (4, enc.k), 0, 16,
+                           dtype=jnp.int32)
+    cw = enc.encode(u)
+    syn = np.array(g.syndrome(cw))
+    assert (syn == 0).all()
+    for j in range(g.dc_max):
+        w = g.cn_w_np[g.cn_mask_np[:, j], j]
+        assert (w == w[0]).all(), f"slot {j} weights not uniform"
