@@ -52,6 +52,9 @@ SWEEPS = [
     ("gf64_tems_nr8_20it", "gf64_n576_k480",
      dict(kind="tems", max_iters=20, offset=2.0, tems_nr=8),
      [2.5, 3.0, 3.5, 4.0], 256),
+    ("gf64_tems_nr6_20it", "gf64_n576_k480",
+     dict(kind="tems", max_iters=20, offset=2.0, tems_nr=6),
+     [2.5, 3.0, 3.5, 4.0], 256),
     ("gf64_tems_nr4_20it", "gf64_n576_k480",
      dict(kind="tems", max_iters=20, offset=2.0, tems_nr=4),
      [2.5, 3.0, 3.5, 4.0], 256),
@@ -60,6 +63,13 @@ SWEEPS = [
      dict(kind="qspa", max_iters=50),
      [1.0, 1.5, 2.0, 2.5], 4096),
     ("gf4_qspa_qc_20it", "gf4_n96_k48_qc",
+     dict(kind="qspa", max_iters=20),
+     [1.5, 2.0, 2.5, 3.0], 2048),
+    # chunk8 PEG codes (same PEG graph, grouped weight tuples) vs random
+    ("gf16_qspa_c8_50it", "gf16_n204_k102_c8",
+     dict(kind="qspa", max_iters=50),
+     [1.0, 1.5, 2.0, 2.5], 4096),
+    ("gf4_qspa_c8_20it", "gf4_n96_k48_c8",
      dict(kind="qspa", max_iters=20),
      [1.5, 2.0, 2.5, 3.0], 2048),
 ]

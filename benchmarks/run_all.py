@@ -55,6 +55,12 @@ CONFIGS = [
     ("gf4_qspa_qc_20it", "gf4_n96_k48_qc", dict(kind="qspa"), 20, 4096, 1),
     ("gf16_ems_qc_slot_20it", "gf16_n204_k102_qc", dict(kind="ems", nm=16),
      20, 8192, 1),
+    # chunk8 PEG codes: same graph as the baseline rows, static rotations
+    ("gf16_qspa_c8_50it", "gf16_n204_k102_c8", dict(kind="qspa"),
+     50, 4096, 1),
+    ("gf4_qspa_c8_20it", "gf4_n96_k48_c8", dict(kind="qspa"), 20, 4096, 1),
+    ("gf16_ems_c8_20it", "gf16_n204_k102_c8", dict(kind="ems", nm=16),
+     20, 8192, 1),
 ]
 
 

@@ -94,11 +94,14 @@ def cmd_gen_codes(_args) -> int:
     from pathlib import Path
 
     from nbldpc_tpu.code import save_alist
-    from nbldpc_tpu.codegen import STANDARD_CODES, build_standard_code
+    from nbldpc_tpu.codegen import (
+        STANDARD_CODES, STANDARD_CODES_C8, STANDARD_CODES_QC,
+        build_standard_code,
+    )
 
     out = Path(__file__).resolve().parents[1] / "codes"
     out.mkdir(exist_ok=True)
-    for name in STANDARD_CODES:
+    for name in (*STANDARD_CODES, *STANDARD_CODES_C8, *STANDARD_CODES_QC):
         spec = build_standard_code(name)
         save_alist(spec, out / f"{name}.alist")
         print(f"wrote {out / (name + '.alist')}  (n={spec.n} m={spec.m} q={spec.q})")

@@ -94,24 +94,45 @@ def _peg_structure(n: int, m: int, dv: np.ndarray, rng: np.random.Generator):
 
 
 def make_peg_code(
-    n: int, m: int, q: int, dv: int = 2, seed: int = 0, require_full_rank: bool = True
+    n: int, m: int, q: int, dv: int = 2, seed: int = 0,
+    require_full_rank: bool = True, weight_mode: str = "random",
 ) -> CodeSpec:
     """Generate a (n, n-m) NB-LDPC code over GF(q) with column degree dv.
 
     Retries GF-weight assignment (and then structure) until H has rank m over
     GF(q), so the systematic encoder always exists.
+
+    weight_mode: "random" = independent seeded GF(q)* weight per edge;
+    "chunk8" = one seeded weight TUPLE per aligned 8-row group, shared by
+    the group's rows (slot j of every row in group g carries the same
+    weight). Check-row indices are arbitrary labels, so this costs nothing
+    structurally (PEG graph unchanged) — but it makes the resident
+    kernels' per-edge rotation amounts uniform over aligned 8-row chunks,
+    collapsing their conditional rotation blends to static rolls
+    (qspa_resident._rot_chunks) with ZERO row inflation, unlike the
+    per-slot-uniform QC mode (which measured a ~0.5 dB FER loss —
+    fer_curves_r5). ceil(m/8) * dc independent tuples keep the edge-label
+    diversity high; FER validated against "random" in fer_curves_r5.
     """
     gf = get_field(q)
     dv_arr = np.full(n, dv, dtype=np.int64)
     for attempt in range(32):
         rng = np.random.default_rng([seed, attempt, n, m, q])
         cn_vars = _peg_structure(n, m, dv_arr, rng)
+        dc_max = max(len(x) for x in cn_vars)
         for val_try in range(8):
             vrng = np.random.default_rng([seed, attempt, val_try, 0xBEEF])
+            chunk_w = None
+            if weight_mode == "chunk8":
+                chunk_w = vrng.integers(
+                    1, q, size=(-(-m // 8), dc_max)).astype(np.int32)
             row_cols, row_vals = [], []
             for mi in range(m):
                 cols = np.array(sorted(cn_vars[mi]), dtype=np.int32)
-                vals = vrng.integers(1, q, size=len(cols)).astype(np.int32)
+                if chunk_w is not None:
+                    vals = chunk_w[mi // 8, : len(cols)].copy()
+                else:
+                    vals = vrng.integers(1, q, size=len(cols)).astype(np.int32)
                 row_cols.append(cols)
                 row_vals.append(vals)
             spec = CodeSpec(q=q, n=n, m=m, row_cols=tuple(row_cols), row_vals=tuple(row_vals))
@@ -215,10 +236,21 @@ STANDARD_CODES_QC = {
     "gf16_n204_k102_qc": (204, 102, 16, 34, 2, 1, "slot"),
 }
 
+# chunk8 PEG twins: the SAME PEG Tanner graph as the baseline codes, with
+# per-8-row-group weight tuples (static rotation path, zero structural
+# change — see make_peg_code weight_mode).
+STANDARD_CODES_C8 = {
+    "gf4_n96_k48_c8": (96, 48, 4, 2, 1),
+    "gf16_n204_k102_c8": (204, 102, 16, 2, 1),
+}
+
 
 def build_standard_code(name: str) -> CodeSpec:
     if name in STANDARD_CODES_QC:
         n, m, q, z, dv, seed, wm = STANDARD_CODES_QC[name]
         return make_qc_code(n, m, q, z, dv=dv, seed=seed, weight_mode=wm)
+    if name in STANDARD_CODES_C8:
+        n, m, q, dv, seed = STANDARD_CODES_C8[name]
+        return make_peg_code(n, m, q, dv=dv, seed=seed, weight_mode="chunk8")
     n, m, q, dv, seed = STANDARD_CODES[name]
     return make_peg_code(n, m, q, dv=dv, seed=seed)

@@ -284,13 +284,22 @@ def _top_list(x: jnp.ndarray, nm: int, q: int, axis: int):
 
 def _merge_bubble(acc, op, TS, nm: int, axis: int):
     """Merge two sorted nm-lists: top-nm of the staircase candidates
-    (values a_t + b_s at GF indices ai_t ^ bi_s). Ties -> first candidate
-    in the lex (t, s) enumeration. Returns (vals, idxs) sorted desc.
+    (values a_t + b_s at GF indices ai_t ^ bi_s), FLOORED at the classic
+    compensation value f = opv_0 + acc_comp. Ties -> first candidate in
+    the lex (t, s) enumeration. Returns (vals, idxs, comp) sorted desc.
+
+    The floor is the exact role compensation plays in the classic
+    compensated-dense merge (out[a] = max(bestpair(a), opv_0 + acc_comp)
+    — every dense entry is >= acc_comp and t=0 dominates the comp terms),
+    applied to the kept entries' VALUES (their indices approximate the
+    dense scheme's lowest-free-index fill). Without it, tail
+    configurations annihilate and GF(256) nm=16 FER degrades ~30x at
+    3 dB (measured round 5, fer_curves_r5 first pass).
 
     All ops on [.., P=|staircase|, ..] tensors (P = 50 for nm = 16) —
     the point of the bubble scheme: no dense-q work inside merges."""
-    accV, accI = acc
-    opV, opI = op
+    accV, accI, accC = acc
+    opV, opI, _opC = op
     T, S = TS
     av = _take_static(accV, T, axis)
     ai = _take_static(accI, T, axis)
@@ -308,11 +317,20 @@ def _merge_bubble(acc, op, TS, nm: int, axis: int):
                       keepdims=True)
         sel = iota == pos
         pick = jnp.sum(jnp.where(sel, ci, 0), axis=axis, keepdims=True)
-        run = jnp.where(sel, NEG, run)
+        # DEDUP: kill every candidate landing on the picked GF index, not
+        # just the picked position — the classic scheme extracts from a
+        # DENSE merge and therefore always returns nm DISTINCT symbols;
+        # without this, duplicate-index pairs waste list slots and GF(256)
+        # nm=16 FER degrades ~30x at 3 dB (measured, fer_curves_r5 first
+        # pass).
+        run = jnp.where(ci == pick, NEG, run)
         vals.append(mx)
         idxs.append(pick.astype(jnp.int32))
+    f = jax.lax.index_in_dim(opV, 0, axis % opV.ndim, keepdims=True) + accC
+    vals = [jnp.maximum(v, f) for v in vals]
     return (jnp.concatenate(vals, axis),
-            jnp.concatenate(idxs, axis).astype(jnp.int32))
+            jnp.concatenate(idxs, axis).astype(jnp.int32),
+            vals[-1])
 
 
 def _scatter_list(lst, q: int, axis: int):
@@ -320,11 +338,9 @@ def _scatter_list(lst, q: int, axis: int):
     other symbol filled with the COMPENSATION value (smallest kept value,
     the classic truncated-list tail semantics). Written largest-last so
     the larger value wins at duplicate indices."""
-    vals, idxs = lst
+    vals, idxs, comp = lst
     nm = vals.shape[axis % vals.ndim]
     iota = _iota(q, vals.ndim, axis)
-    comp = jax.lax.index_in_dim(vals, nm - 1, axis % vals.ndim,
-                                keepdims=True)
     out = jnp.broadcast_to(
         comp, comp.shape[: axis % vals.ndim] + (q,)
         + comp.shape[axis % vals.ndim + 1:])
@@ -351,16 +367,21 @@ def _cn_ems_bubble_core(Ujs: list, nm: int, q: int, axis: int,
     pairs = bubble_pairs(nm)
     TS = (np.array([t for t, _ in pairs]), np.array([s for _, s in pairs]))
 
+    def with_comp(vi):
+        v, i = vi
+        return (v, i, jax.lax.index_in_dim(v, nm - 1, axis % v.ndim,
+                                           keepdims=True))
+
     if stacked is not None:
         sv, si = _top_list(stacked, nm, q, axis + (dc_axis <= axis))
         dax = dc_axis % stacked.ndim
         quads = [
-            (jnp.squeeze(jax.lax.index_in_dim(sv, j, dax), dax),
-             jnp.squeeze(jax.lax.index_in_dim(si, j, dax), dax))
+            with_comp((jnp.squeeze(jax.lax.index_in_dim(sv, j, dax), dax),
+                       jnp.squeeze(jax.lax.index_in_dim(si, j, dax), dax)))
             for j in range(dc)
         ]
     else:
-        quads = [_top_list(u, nm, q, axis) for u in Ujs]
+        quads = [with_comp(_top_list(u, nm, q, axis)) for u in Ujs]
     F = [None] * dc
     F[1] = quads[0]
     for j in range(2, dc):
@@ -466,10 +487,10 @@ def decode(
             use_pallas = "yes" if _on_tpu() else "no"
         if use_pallas == "yes":
             # whole-decode resident kernel (K0-EMS) when it applies: q <= 32
-            # untruncated (nm >= q, the BASELINE GF(16) nm=16 config) on a
-            # frames-on-lanes-capable batch. nm < q keeps the K2 pipeline.
+            # (untruncated AND, since round 5, classic-truncated nm < q) on
+            # a frames-on-lanes-capable batch.
             layout, tb = _resident_tile(llr.shape[0])
-            if graph.q <= 32 and nm >= graph.q and layout == "fl":
+            if graph.q <= 32 and layout == "fl":
                 from nbldpc_tpu.kernels.ems_resident import get_resident_ems
 
                 dec = get_resident_ems(graph, max_iters, nm, offset,

@@ -84,25 +84,34 @@ def _two_deviation_dense(m1x, c1x, m2x, q: int, axis: int,
     return dw
 
 
-def _two_deviation_bubble(m1x, c1x, m2x, q: int, axis: int, n_r: int):
-    """TRUNCATED two-deviation search (round 5 — VERDICT item 3): restrict
-    both deviations to the n_r most reliable rows (ranked by the
-    column-excluded one-deviation metric m1x, ties -> lower row index),
-    instead of the exact all-(q-1)-row Gray scan.
+def _two_deviation_bubble(m1x, c1x, m2x, q: int, axis: int, n_r: int,
+                          xor_take=_xor_take):
+    """TRUNCATED two-deviation search (round 5 — VERDICT item 3): the
+    FIRST deviation e1 is restricted to the n_r most reliable rows
+    (ranked by the column-excluded one-deviation metric m1x, ties ->
+    lower row index) while e2 = eta ^ e1 stays FREE — the classic
+    one-sided reduced-deviation scheme (Li et al.). Every output row
+    still sees n_r two-deviation candidates; since the pair metric is
+    symmetric, only pairs whose BOTH endpoints fall outside the top-n_r
+    are lost.
 
-    This is the classic T-EMS complexity reduction (Li et al.'s reduced
-    deviation sets), reformulated list-style for TPU: extract the top-n_r
-    (value, row) list, enumerate the n_r*(n_r-1)/2 unordered pairs as
-    CANDIDATES (value = collision-fixed two-deviation sum, index =
-    e1 ^ e2), and scatter-max them into the dense dw — no data-dependent
-    XOR permutes at all, so the same code runs in the K5 Pallas kernel
-    unchanged. The one-deviation term stays EXACT (dense m1x). Changes
-    decoder semantics vs the exact scan; co-designed numpy oracle:
-    tests/reference_model.py kind="tems" with n_r, FER validation in
-    benchmarks/results/ (fer_curves_r5)."""
+    (A cheaper both-endpoints-in-top-n_r pair enumeration was built and
+    FER-validated first: it collapsed on the (576,480) code — FER 0.94
+    at 4 dB where the exact scan reaches 0.0 — and was replaced by this
+    scheme. fer_curves_r5 records the validation.)
+
+    Per kept row: one data-dependent XOR permute of the stacked
+    (m1x, m2x, c1x) operands (p conditional static permutes — the same
+    xor_take hook as the dense scan, so the K5 Pallas kernel runs it
+    unchanged); the candidate row values come from the shifted stack's
+    row 0 (S[eta ^ e1] at eta = 0 IS S[e1] — static slices only). The
+    one-deviation term stays EXACT (dense m1x). Co-designed numpy
+    oracle: tests/reference_model.py kind="tems" with n_r."""
     iota = _iota(q, m1x.ndim, axis)
     # rank rows by m1x with row 0 excluded (a zero deviation is not a
-    # deviation); 2*NEG sentinel so all-NEG pad rows cannot re-select row 0
+    # deviation); 2*NEG sentinel so all-NEG pad rows cannot re-select
+    # row 0. The picked rows' (m1x, m2x, c1x) scalars are collected with
+    # one-hot reduces during extraction.
     run = jnp.where(iota == 0, 2.0 * NEG, m1x)
     v1s, v2s, cs, idxs = [], [], [], []
     for _ in range(n_r):
@@ -119,15 +128,18 @@ def _two_deviation_bubble(m1x, c1x, m2x, q: int, axis: int, n_r: int):
         idxs.append(idx)
     dw = m1x                                           # one deviation: exact
     for t in range(n_r):
-        for s in range(t + 1, n_r):
-            eta = idxs[t] ^ idxs[s]
-            coll = cs[t] == cs[s]
-            cand = jnp.where(
-                coll,
-                jnp.maximum(v1s[t] + v2s[s], v2s[t] + v1s[s]),
-                v1s[t] + v1s[s],
-            )
-            dw = jnp.maximum(dw, jnp.where(iota == eta, cand, NEG))
+        # candidates in the SHIFTED domain (indexed by e2 = eta ^ e1):
+        # every operand is unshifted, so only the finished candidate row
+        # needs the data-dependent XOR permute — one tensor through
+        # p conditional permutes per kept row instead of the stacked
+        # (m1x, m2x, c1x) triple (3x less permute traffic; measured: the
+        # triple-shift form was only 5% faster than the exact Gray scan).
+        cand = jnp.where(cs[t] == c1x,
+                         jnp.maximum(v1s[t] + m2x, v2s[t] + m1x),
+                         v1s[t] + m1x)
+        cand = jnp.where(iota == 0, NEG, cand)         # e2 = 0 forbidden
+        dw = jnp.maximum(dw, _xor_perm_dyn(cand, idxs[t], q, axis,
+                                           xor_take))
     return dw
 
 
@@ -188,7 +200,7 @@ def _cn_tems_core(U, q: int, dc_axis: int, q_axis: int,
     m2x = jnp.where(is_j0 | is_j1, m3, m2)
 
     if n_r:
-        dw = _two_deviation_bubble(m1x, c1x, m2x, q, q_axis, n_r)
+        dw = _two_deviation_bubble(m1x, c1x, m2x, q, q_axis, n_r, xor_take)
     else:
         dw = _two_deviation_dense(m1x, c1x, m2x, q, q_axis, xor_take)
         dw = jnp.maximum(dw, m1x)                           # one deviation

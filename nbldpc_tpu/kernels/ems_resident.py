@@ -76,12 +76,14 @@ class ResidentEMS(ResidentQSPAFL):
         q = graph.q
         if nm is None:
             nm = q
-        if nm < q:
-            raise ValueError(
-                "resident EMS implements the untruncated nm >= q case "
-                "(the BASELINE GF(16) nm=16 config); nm < q uses the K2 "
-                "per-phase pipeline")
-        self.nm = nm
+        # nm < q (round 5, VERDICT item 7): the classic truncated-list
+        # scheme runs whole-decode resident too — top-nm extraction over
+        # lane groups (positional, stable ties -> lower GF index, exactly
+        # decoders/ems._top_extract) feeding the same max-plus merge core
+        # with (NEG-masked list, compensated dense) operand pairs. fp-exact
+        # vs the XLA classic path: max is order-independent, extraction
+        # tie-breaks mirrored, blends use exact 0/1 masks.
+        self.nm = min(nm, q)
         self.offset = float(offset)
         g = graph
         gf = g.gf
@@ -220,32 +222,72 @@ class ResidentEMS(ResidentQSPAFL):
                 outs.append(run)
             return jnp.concatenate(outs, axis=1)
 
+        def extract(X):
+            """Positional top-nm over lane groups -> (lst, dense): entries
+            outside the stable top-nm become NEG in the LIST form and the
+            COMPENSATION value (smallest kept) in the DENSE form — exactly
+            decoders/ems._top_extract. All comparisons f32; blends use
+            exact 0/1 mask products (no bf16 compares — Mosaic)."""
+            X32 = X.astype(jnp.float32)
+            run = X32
+            kept = jnp.zeros_like(X32)
+            comp = None
+            for _ in range(self.nm):
+                mx = groupmax(run)
+                idx = jnp.full_like(mx, q)
+                for a in range(q - 1, -1, -1):
+                    idx = jnp.where(grp(run, a) >= mx, jnp.float32(a), idx)
+                comp = mx
+                run = jnp.concatenate(
+                    [jnp.where(idx == a, neg, grp(run, a))
+                     for a in range(q)], axis=1)
+                kept = jnp.concatenate(
+                    [jnp.maximum(grp(kept, a),
+                                 jnp.where(idx == a, 1.0, 0.0))
+                     for a in range(q)], axis=1)
+            lst = X32 * kept + neg * (1.0 - kept)
+            compb = jnp.concatenate([comp] * q, axis=1)
+            dense = X32 * kept + compb * (1.0 - kept)
+            return lst, dense
+
         def cn_update(U):
             """[E2, q*TB] x-domain in/out. decoders/ems.py::_cn_ems_core
-            forward/backward structure (untruncated: extract = identity,
-            all operands dense). "lou" in ablate skips the merges (numbers
-            wrong by design — the attribution probe, like the QSPA
-            kernel's flag set)."""
+            forward/backward structure: untruncated (nm >= q) keeps all
+            operands dense (extract = identity); truncated runs the classic
+            (list, compensated-dense) recursion — merge(acc.dense, op.lst),
+            re-extracted after every merge. "lou" in ablate skips the
+            merges (numbers wrong by design — the attribution probe, like
+            the QSPA kernel's flag set)."""
             if "lou" in self.ablate:
                 mo = jnp.concatenate([groupmax(U)] * q, axis=1)
                 return jnp.maximum(jnp.minimum(U - mo, 0.0), neg)
-            Ujs = [U[j * Mp:(j + 1) * Mp] for j in range(dc)]
+            trunc = self.nm < q
+            if trunc:
+                lstA, denA = extract(U)
+                Ujs = [(lstA[j * Mp:(j + 1) * Mp],
+                        denA[j * Mp:(j + 1) * Mp]) for j in range(dc)]
+                mrg = lambda acc, op: merge(acc[1], op[0])
+                ext = extract
+            else:
+                Ujs = [(U[j * Mp:(j + 1) * Mp],) * 2 for j in range(dc)]
+                mrg = lambda acc, op: merge(acc[1], op[0])
+                ext = lambda x: (x, x)
             F = [None] * dc
             F[1] = Ujs[0]
             for j in range(2, dc):
-                F[j] = merge(F[j - 1], Ujs[j - 1])
+                F[j] = ext(mrg(F[j - 1], Ujs[j - 1]))
             B_ = [None] * dc
             B_[dc - 2] = Ujs[dc - 1]
             for j in range(dc - 3, -1, -1):
-                B_[j] = merge(B_[j + 1], Ujs[j + 1])
+                B_[j] = ext(mrg(B_[j + 1], Ujs[j + 1]))
             outs = []
             for j in range(dc):
                 if j == 0:
-                    outs.append(B_[0])
+                    outs.append(B_[0][1])
                 elif j == dc - 1:
-                    outs.append(F[dc - 1])
+                    outs.append(F[dc - 1][1])
                 else:
-                    outs.append(merge(F[j], B_[j]))
+                    outs.append(mrg(F[j], B_[j]))
             O = jnp.concatenate(outs, axis=0)              # [E2, q*TB]
             # _postprocess: normalize, offset-correct, clip to [NEG, 0]
             mo = jnp.concatenate([groupmax(O)] * q, axis=1)

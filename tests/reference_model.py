@@ -260,29 +260,38 @@ class OracleDecoder:
 
     @staticmethod
     def _top_list_bubble(u, nm):
-        """Sorted top-nm (vals desc, GF idxs), ties -> lower GF index —
-        mirrors nbldpc_tpu.decoders.ems._top_list exactly."""
+        """Sorted top-nm (vals desc, GF idxs, comp) — mirrors
+        nbldpc_tpu.decoders.ems._top_list (+comp) exactly."""
         order = np.argsort(-u, kind="stable")[:nm]
-        return u[order].copy(), order.astype(np.int64)
+        return u[order].copy(), order.astype(np.int64), u[order[-1]]
 
     @staticmethod
     def _merge_bubble(acc, op, pairs, nm):
         """Staircase candidate merge — mirrors ems._merge_bubble exactly:
         candidates enumerated in lex (t, s) order, top-nm by value with
-        ties -> first enumeration position."""
-        av, ai = acc
-        bv, bi = op
-        cv = np.array([av[t] + bv[s] for t, s in pairs])
+        ties -> first enumeration position, kept values FLOORED at the
+        classic compensation f = opv_0 + acc_comp."""
+        av, ai, acomp = acc
+        bv, bi, _bcomp = op
+        cv = np.array([av[t] + bv[s] for t, s in pairs], dtype=np.float64)
         ci = np.array([ai[t] ^ bi[s] for t, s in pairs])
-        keep = np.argsort(-cv, kind="stable")[:nm]
-        return cv[keep], ci[keep]
+        vals, idxs = [], []
+        run = cv.copy()
+        for _ in range(nm):
+            k = int(np.argmax(run))          # ties -> first enum position
+            vals.append(run[k])
+            idxs.append(int(ci[k]))
+            run[ci == ci[k]] = -1e30         # dedup by GF index
+        f = bv[0] + acomp
+        vals = np.maximum(np.array(vals), f)
+        return vals, np.array(idxs, dtype=np.int64), vals[-1]
 
     @staticmethod
     def _scatter_bubble(lst, q):
         """List -> compensated dense — mirrors ems._scatter_list exactly
-        (fill = smallest kept value; largest wins at duplicate indices)."""
-        vals, idxs = lst
-        out = np.full(q, vals[-1])
+        (fill = the list's comp; largest wins at duplicate indices)."""
+        vals, idxs, comp = lst
+        out = np.full(q, comp)
         for t in reversed(range(len(vals))):
             out[idxs[t]] = vals[t]
         return out
@@ -416,18 +425,20 @@ class OracleDecoder:
                     is_j[0], t_val[2], np.where(is_j[1], t_val[2], t_val[1])
                 )
                 if self.n_r:
-                    # TRUNCATED search (mirrors tems._two_deviation_bubble
-                    # exactly): both deviations restricted to the n_r most
-                    # reliable rows (by m1x, row 0 excluded, ties -> lower
-                    # row); one-deviation term stays exact.
+                    # TRUNCATED one-sided search (mirrors
+                    # tems._two_deviation_bubble exactly): e1 restricted
+                    # to the n_r most reliable rows (by m1x, row 0
+                    # excluded, ties -> lower row), e2 = eta ^ e1 free;
+                    # one-deviation term stays exact.
                     run = m1x.copy()
                     run[0] = 2.0 * NEG
                     rows = np.argsort(-run, kind="stable")[: self.n_r]
                     dw = m1x.copy()
-                    for ti in range(len(rows)):
-                        for si in range(ti + 1, len(rows)):
-                            e1, e2 = int(rows[ti]), int(rows[si])
-                            eta = e1 ^ e2
+                    for e1 in (int(r) for r in rows):
+                        for eta in range(1, q):
+                            e2 = eta ^ e1
+                            if e2 == 0:
+                                continue
                             if c1x[e1] != c1x[e2]:
                                 cand = m1x[e1] + m1x[e2]
                             else:
