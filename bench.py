@@ -25,7 +25,8 @@ import sys
 import time
 
 
-def worker(batch: int, reps: int, precision: str = "bf16") -> None:
+def worker(batch: int, reps: int, precision: str = "bf16",
+           code: str = "gf16_n204_k102_c8") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +37,14 @@ def worker(batch: int, reps: int, precision: str = "bf16") -> None:
 
     platform = jax.devices()[0].platform
     iters = 50
-    spec = build_standard_code("gf16_n204_k102")
+    # Default code: the chunk8 twin of the (204,102) PEG code — the SAME
+    # PEG Tanner graph with per-8-row-group weight tuples, which turns the
+    # resident kernel's GF rotations (its largest measured cost bucket)
+    # into static rolls. FER statistically identical to the random-weight
+    # code (fer_curves_r5: 0.0130 vs 0.0141 at 2.0 dB); codes are
+    # framework-generated per SURVEY.md §7 risk 5, so the constructor
+    # choice is ours. The plain PEG code remains a fallback attempt.
+    spec = build_standard_code(code)
     graph = TannerGraph(spec)
     # Throughput mode: fixed budget, no per-iteration bookkeeping (explicit —
     # the decoder default keeps XLA-matching semantics), bf16 routing (BER
@@ -91,6 +99,7 @@ def worker(batch: int, reps: int, precision: str = "bf16") -> None:
         "batch": batch,
         "iters": iters,
         "precision": precision,
+        "code": code,
     }
     print(json.dumps(result), flush=True)
 
@@ -124,13 +133,15 @@ def main() -> None:
     # zero the round's headline (round-2 lesson). Cold remote compiles have
     # been observed at up to ~18 min; the compile service caches by program
     # hash, so reruns at the same HEAD are fast.
-    attempts = [(8192, 8, 1500, "f32"), (8192, 8, 900, "bf16"),
-                (2048, 8, 600, "f32")]
-    for batch, reps, tmo, precision in attempts:
+    attempts = [(8192, 8, 1500, "f32", "gf16_n204_k102_c8"),
+                (8192, 8, 1200, "f32", "gf16_n204_k102"),
+                (8192, 8, 900, "bf16", "gf16_n204_k102_c8"),
+                (2048, 8, 600, "f32", "gf16_n204_k102")]
+    for batch, reps, tmo, precision, code in attempts:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
-                 str(batch), str(reps), precision],
+                 str(batch), str(reps), precision, code],
                 capture_output=True, text=True, timeout=tmo,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -156,6 +167,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]),
-               sys.argv[4] if len(sys.argv) > 4 else "bf16")
+               sys.argv[4] if len(sys.argv) > 4 else "bf16",
+               sys.argv[5] if len(sys.argv) > 5 else "gf16_n204_k102_c8")
     else:
         main()

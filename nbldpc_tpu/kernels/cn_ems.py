@@ -226,12 +226,16 @@ def ems_cn_update_bl_bubble_pallas(
     M, dc, q, B = U.shape
     nm = min(nm, q)
     TB = _pick_lane_tile(B, 256)
-    live = 14.0
+    # the bubble path keeps ~dc lists + one dense staging array live —
+    # a 24 MiB budget with live=8 doubles the M tile vs the classic
+    # model (TM=2 at GF(256)), halving grid-step overhead
+    live = 8.0
+    budget = 2 * VMEM_BUDGET
     tb_pad = max(128, TB)
     row_bytes = live * dc * (-(-q // 8) * 8) * tb_pad * 4 // TB
-    tm_target = int(VMEM_BUDGET / (row_bytes * TB))
+    tm_target = int(budget / (row_bytes * TB))
     if tm_target < 1:
-        TB = _pick_lane_tile(B, max(128, int(VMEM_BUDGET / row_bytes)))
+        TB = _pick_lane_tile(B, max(128, int(budget / row_bytes)))
         tm_target = 1
     TM = _pick_tile(M, tm_target)
     grid = (M // TM, B // TB)

@@ -332,12 +332,21 @@ class OracleDecoder:
             row = []
             for j in range(dc):
                 if j == 0:
-                    lst = B[0]
+                    acc = self._scatter_bubble(B[0], q)
                 elif j == dc - 1:
-                    lst = F[dc - 1]
+                    acc = self._scatter_bubble(F[dc - 1], q)
                 else:
-                    lst = self._merge_bubble(F[j], B[j], pairs, nm)
-                acc = self._scatter_bubble(lst, q)
+                    # FINAL merge: dense all-candidate scatter with the
+                    # classic comp floor — mirrors ems._merge_bubble_dense
+                    av, ai, acomp = F[j]
+                    bv, bi, _ = B[j]
+                    f = bv[0] + acomp
+                    acc = np.full(q, f)
+                    for t, s in pairs:
+                        idx = int(ai[t] ^ bi[s])
+                        val = av[t] + bv[s]
+                        if val > acc[idx]:
+                            acc[idx] = val
                 acc = np.minimum(acc - acc.max() + self.offset, 0.0)
                 acc = np.maximum(acc, NEG)
                 perm = gf.mul[vals[j], np.arange(q)]
