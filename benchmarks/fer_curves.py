@@ -46,7 +46,7 @@ SWEEPS = [
     # --- round-5 variants: each must match its baseline's curve ---
     # bubble EMS vs classic EMS (same code/SNRs)
     ("gf256_ems_bubble_10it", "gf256_n255_k175",
-     dict(kind="ems", nm=16, max_iters=10, offset=0.1, ems_merge="bubble"),
+     dict(kind="ems", nm=16, max_iters=10, offset=0.0, ems_merge="bubble"),
      [2.0, 2.5, 3.0], 128),
     # truncated-deviation T-EMS vs the exact scan
     ("gf64_tems_nr8_20it", "gf64_n576_k480",

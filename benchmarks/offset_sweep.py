@@ -32,6 +32,11 @@ CONFIGS = [
      dict(kind="tems", max_iters=20), 3.2, 256),
     ("gf256_ems_nm16_10it", "gf256_n255_k175",
      dict(kind="ems", nm=16, max_iters=10), 2.5, 128),
+    # round-5 variants: approximation schemes need their own offsets
+    ("gf256_ems_bubble_10it", "gf256_n255_k175",
+     dict(kind="ems", nm=16, max_iters=10, ems_merge="bubble"), 2.5, 128),
+    ("gf64_tems_nr8_20it", "gf64_n576_k480",
+     dict(kind="tems", max_iters=20, tems_nr=8), 3.2, 256),
 ]
 
 OFFSETS = [0.0, 0.1, 0.2, 0.3, 0.4, 0.6]

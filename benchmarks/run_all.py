@@ -43,7 +43,7 @@ CONFIGS = [
     # --- round-5 variants ---
     # bubble EMS (list-based staircase merges + fused CN kernel)
     ("gf256_ems_bubble_10it", "gf256_n255_k175",
-     dict(kind="ems", nm=16, ems_merge="bubble"), 10, 128, 1),
+     dict(kind="ems", nm=16, offset=0.0, ems_merge="bubble"), 10, 128, 1),
     # truncated-deviation T-EMS
     ("gf64_tems_nr8_20it", "gf64_n576_k480",
      dict(kind="tems", tems_nr=8), 20, 256, 1),
