@@ -647,3 +647,81 @@ def test_resident_ems_truncated_interpret(small_codes):
             llr, tb=24, interpret=True)
         assert np.mean(np.array(ref.hard) == np.array(h)) > 0.99
         np.testing.assert_array_equal(np.array(ref.done), np.array(dn))
+
+
+@pytest.mark.tpu
+def test_resident_highq_device_vs_xla():
+    """The round-5 large-q resident kernel (now the q>32 QSPA dispatch
+    default) must survive Mosaic lowering on the real chip: GF(64) and
+    GF(256) small codes, device resident vs XLA, near-exact (prob- vs
+    log-domain fp ties only)."""
+    for q, n, m in ((64, 24, 8), (256, 20, 6)):
+        spec = make_peg_code(n, m, q, dv=2, seed=3)
+        g = TannerGraph(spec)
+        cw, llr = _noisy(spec, 64, 3.0, seed=23)
+        ref = qspa.decode(g, llr, max_iters=6, early_term=True,
+                          cn_impl="xla")
+        res = qspa.decode(g, llr, max_iters=6, early_term=True,
+                          cn_impl="resident")
+        assert np.mean(np.array(ref.hard) == np.array(res.hard)) > 0.999, q
+        assert np.mean(np.array(ref.done) == np.array(res.done)) > 0.98, q
+
+
+@pytest.mark.tpu
+def test_chunk8_static_rotation_device():
+    """chunk8 codes (the bench.py flagship default since round 5) take the
+    STATIC rotation path — its Mosaic lowering must agree with the XLA
+    path on device for both resident kernels."""
+    from nbldpc_tpu.codegen import build_standard_code
+    from nbldpc_tpu.decoders import ems
+    from nbldpc_tpu.kernels.ems_resident import ResidentEMS
+    from nbldpc_tpu.kernels.qspa_resident import ResidentQSPAFL
+
+    spec = build_standard_code("gf16_n204_k102_c8")
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 256, 2.5, seed=29)
+    d = ResidentQSPAFL(g, max_iters=8, early_term=True)
+    assert d.rot_static is not None
+    ref = qspa.decode(g, llr, max_iters=8, early_term=True, cn_impl="xla")
+    h, dn, _ = jax.jit(lambda x: d(x, tb=128))(llr)
+    assert np.mean(np.array(ref.hard) == np.array(h)) > 0.999
+    assert np.mean(np.array(ref.done) == np.array(dn)) > 0.98
+    e = ResidentEMS(g, 8, nm=16, early_term=True)
+    assert e.perm_static is not None
+    ref_e = ems.decode(g, llr, max_iters=8, nm=16, early_term=True,
+                       use_pallas="no")
+    h2, dn2, _ = jax.jit(lambda x: e(x, tb=128))(llr)
+    assert np.mean(np.array(ref_e.hard) == np.array(h2)) > 0.999
+    assert np.mean(np.array(ref_e.done) == np.array(dn2)) > 0.98
+
+
+@pytest.mark.tpu
+def test_bubble_kernel_device_vs_xla():
+    """Fused bubble CN kernel on device vs the XLA bubble path (GF(256))."""
+    from nbldpc_tpu.decoders import ems
+
+    spec = make_peg_code(20, 6, 256, dv=2, seed=3)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 128, 4.0, seed=31)
+    ref = ems.decode(g, llr, max_iters=4, nm=16, merge="bubble",
+                     use_pallas="no")
+    res = ems.decode(g, llr, max_iters=4, nm=16, merge="bubble",
+                     use_pallas="yes")
+    assert np.mean(np.array(ref.hard) == np.array(res.hard)) > 0.999
+    assert np.mean(np.array(ref.done) == np.array(res.done)) > 0.98
+
+
+@pytest.mark.tpu
+def test_tems_truncated_device_vs_xla():
+    """One-sided truncated T-EMS through the K5 kernel on device vs XLA."""
+    from nbldpc_tpu.decoders import tems
+
+    spec = make_peg_code(72, 12, 64, dv=2, seed=2)
+    g = TannerGraph(spec)
+    cw, llr = _noisy(spec, 64, 4.0, seed=37)
+    ref = tems.decode(g, llr, max_iters=6, offset=2.0, n_r=8,
+                      use_pallas="no")
+    res = tems.decode(g, llr, max_iters=6, offset=2.0, n_r=8,
+                      use_pallas="yes")
+    assert np.mean(np.array(ref.hard) == np.array(res.hard)) > 0.999
+    assert np.mean(np.array(ref.done) == np.array(res.done)) > 0.98
