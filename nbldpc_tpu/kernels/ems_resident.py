@@ -121,7 +121,7 @@ class ResidentEMS(ResidentQSPAFL):
         # uniformity key (pads default to weight 1 = identity; their
         # values are overwritten by the delta fix / never routed up).
         self.perm_static = None
-        if q > 2:
+        if q >= 8:                   # see the parent's q-gate rationale
             wch = self._rot_chunks(np.maximum(g.cn_w_np, 1), g.cn_mask_np)
             if wch is not None:
                 wch = [(r0, r1, max(1, w)) for (r0, r1, w) in wch]

@@ -635,8 +635,12 @@ class ResidentQSPAFL(ResidentQSPA):
         synk2 = np.zeros((dc, self.p, Mp), np.int32)
         synk2[:, :, :m] = self.syn_k_jpm
         self.synk2 = synk2
+        # q >= 8 only: at GF(4) the rotation is 2 cheap blend stages and
+        # the chunked static rolls measured 2x SLOWER (round5.json:
+        # gf4_qspa_c8 2.0e8 vs gf4_qspa 4.0e8 sym/s) — the win scales
+        # with rot_bits, the loss with chunk count.
         self.rot_static = None
-        if q > 2:
+        if q >= 8:
             self.rot_static = (self._rot_chunks(r_down, cn_mask),
                                self._rot_chunks(r_up, cn_mask))
             if self.rot_static[0] is None or self.rot_static[1] is None:
