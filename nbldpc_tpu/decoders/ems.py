@@ -524,7 +524,7 @@ def decode(
             # whole-decode resident kernel (K0-EMS) when it applies: q <= 32
             # (untruncated AND, since round 5, classic-truncated nm < q) on
             # a frames-on-lanes-capable batch.
-            layout, tb = _resident_tile(llr.shape[0])
+            layout, tb = _resident_tile(llr.shape[0], graph)
             if graph.q <= 32 and layout == "fl":
                 from nbldpc_tpu.kernels.ems_resident import get_resident_ems
 

@@ -121,6 +121,12 @@ def _resident_tile(batch: int, graph: TannerGraph | None = None) -> tuple:
                 return "cl", t
         return "", 0
     if batch % 128 == 0:
+        # tb=128 stays the tile: wider tiles (256/512) measured 8-9%
+        # faster PAIR-timed at the flagship config but NEUTRAL on the
+        # honest chained-slope headline and 8% SLOWER for the resident
+        # EMS core (round-5 experiment; /tmp-era logs summarized in
+        # ROOFLINE.md) — the pair-time gain was dispatch-side, which the
+        # slope cancels anyway.
         return "fl", 128
     for t in range(min(batch, 64), 7, -1):
         if batch % t == 0 and t % 8 == 0:
