@@ -244,16 +244,19 @@ def _cn_ems_core(Ujs: list, nm: int, q: int, axis: int,
 # ---------------------------------------------------------------------------
 
 
-def bubble_pairs(nm: int):
-    """Static staircase candidate set: (t+1)*(s+1) <= 2*nm, lex order.
+def bubble_pairs(nm: int, budget: int = 2):
+    """Static staircase candidate set: (t+1)*(s+1) <= budget*nm, lex order.
 
-    A budget of nm suffices for the top-nm BY VALUE of sorted operands,
-    but the index-DEDUP in _merge_bubble can reach deeper than nm raw
-    candidates when top values collide on GF indices — the 2*nm budget
-    (|S| = 103 for nm = 16, still ~q/2.5 of a dense merge at GF(256))
-    measurably narrows the FER gap to the classic scheme."""
+    A budget of nm (budget=1, |S| = 50 for nm = 16) suffices for the
+    top-nm BY VALUE of sorted operands, but the index-DEDUP in
+    _merge_bubble reaches deeper than nm raw candidates when top values
+    collide on GF indices. Measured round 5 (GF(256) (255,175) nm=16,
+    10 it, fresh-fill merges, device): budget=1 runs 1.16e6 sym/s but
+    FER 1.21e-2 at 3.0 dB vs budget=2's 8.9e5 sym/s at 7.3e-3 (classic
+    6.0e-3) — staircase depth carries real coding gain even with the
+    fresh-fill tail fix, so budget=2 stays the default."""
     return [(t, s) for t in range(nm) for s in range(nm)
-            if (t + 1) * (s + 1) <= 2 * nm]
+            if (t + 1) * (s + 1) <= budget * nm]
 
 
 def _take_static(x: jnp.ndarray, T, axis: int) -> jnp.ndarray:
@@ -288,22 +291,30 @@ def _top_list(x: jnp.ndarray, nm: int, q: int, axis: int):
     return jnp.concatenate(vals, axis), jnp.concatenate(idxs, axis)
 
 
-def _merge_bubble(acc, op, TS, nm: int, axis: int):
+def _merge_bubble(acc, op, TS, nm: int, q: int, axis: int):
     """Merge two sorted nm-lists: top-nm of the staircase candidates
-    (values a_t + b_s at GF indices ai_t ^ bi_s), FLOORED at the classic
-    compensation value f = opv_0 + acc_comp. Ties -> first candidate in
-    the lex (t, s) enumeration. Returns (vals, idxs, comp) sorted desc.
+    (values a_t + b_s at GF indices ai_t ^ bi_s) AUGMENTED with
+    fresh-index fill candidates at the classic compensation floor
+    f = opv_0 + acc_comp. Ties -> first candidate in the enumeration
+    (staircase in lex (t, s) order, then fills in ascending GF index).
+    Returns (vals, idxs, comp) sorted desc.
 
-    The floor is the exact role compensation plays in the classic
-    compensated-dense merge (out[a] = max(bestpair(a), opv_0 + acc_comp)
-    — every dense entry is >= acc_comp and t=0 dominates the comp terms),
-    applied to the kept entries' VALUES (their indices approximate the
-    dense scheme's lowest-free-index fill). Without it, tail
-    configurations annihilate and GF(256) nm=16 FER degrades ~30x at
-    3 dB (measured round 5, fer_curves_r5 first pass).
+    The fill candidates reproduce the classic compensated-dense merge's
+    partial-list semantics exactly: there, partials are top-nm of a dense
+    merge whose every entry is >= f = opv_0 + acc_comp, so when fewer
+    than nm pair candidates beat the floor, the tail slots anchor FRESH
+    f-valued indices (ties -> lowest GF index) instead of reusing
+    dominated pair indices. min(2*nm, q) fill candidates at indices
+    0..min(2*nm,q)-1 suffice: at most nm distinct real picks can dedup
+    away fills, leaving >= nm fresh ones. Below-floor pair candidates
+    are dropped outright (the fills dominate them). Without fresh-index
+    fills, GF(256) nm=16 FER sat 5.6x off classic at 3 dB (round-5
+    fer_curves_r5); without any floor, tail configurations annihilate
+    and FER degrades ~30x (first-pass round-5 measurement).
 
-    All ops on [.., P=|staircase|, ..] tensors (P = 50 for nm = 16) —
-    the point of the bubble scheme: no dense-q work inside merges."""
+    All ops on [.., P=|staircase|+min(2nm,q), ..] tensors (P = 135 for
+    nm = 16) — the point of the bubble scheme: no dense-q work inside
+    merges."""
     accV, accI, accC = acc
     opV, opI, _opC = op
     T, S = TS
@@ -311,9 +322,19 @@ def _merge_bubble(acc, op, TS, nm: int, axis: int):
     ai = _take_static(accI, T, axis)
     bv = _take_static(opV, S, axis)
     bi = _take_static(opI, S, axis)
-    cv = av + bv                                       # [.., P, ..]
+    f = jax.lax.index_in_dim(opV, 0, axis % opV.ndim, keepdims=True) + accC
+    cv = av + bv                                       # [.., Ps, ..]
     ci = ai ^ bi
-    P = len(T)
+    nf = min(2 * nm, q)
+    # Fill candidates: value exactly f at GF indices 0..nf-1, appended
+    # AFTER the staircase so above-floor pairs win value ties.
+    fshape = list(cv.shape)
+    fshape[axis % cv.ndim] = nf
+    cv = jnp.concatenate(
+        [jnp.where(cv > f, cv, NEG), jnp.broadcast_to(f, fshape)], axis)
+    ci = jnp.concatenate(
+        [ci, jnp.broadcast_to(_iota(nf, ci.ndim, axis), fshape)], axis)
+    P = len(T) + nf
     iota = _iota(P, cv.ndim, axis)
     vals, idxs = [], []
     run = cv
@@ -328,11 +349,11 @@ def _merge_bubble(acc, op, TS, nm: int, axis: int):
         # DENSE merge and therefore always returns nm DISTINCT symbols;
         # without this, duplicate-index pairs waste list slots and GF(256)
         # nm=16 FER degrades ~30x at 3 dB (measured, fer_curves_r5 first
-        # pass).
+        # pass). Killing by index also retires fill candidates whose
+        # index a real pick already claimed.
         run = jnp.where(ci == pick, NEG, run)
         vals.append(mx)
         idxs.append(pick.astype(jnp.int32))
-    f = jax.lax.index_in_dim(opV, 0, axis % opV.ndim, keepdims=True) + accC
     vals = [jnp.maximum(v, f) for v in vals]
     return (jnp.concatenate(vals, axis),
             jnp.concatenate(idxs, axis).astype(jnp.int32),
@@ -421,11 +442,11 @@ def _cn_ems_bubble_core(Ujs: list, nm: int, q: int, axis: int,
     F = [None] * dc
     F[1] = quads[0]
     for j in range(2, dc):
-        F[j] = _merge_bubble(F[j - 1], quads[j - 1], TS, nm, axis)
+        F[j] = _merge_bubble(F[j - 1], quads[j - 1], TS, nm, q, axis)
     B = [None] * dc
     B[dc - 2] = quads[dc - 1]
     for j in range(dc - 3, -1, -1):
-        B[j] = _merge_bubble(B[j + 1], quads[j + 1], TS, nm, axis)
+        B[j] = _merge_bubble(B[j + 1], quads[j + 1], TS, nm, q, axis)
 
     outs = []
     for j in range(dc):

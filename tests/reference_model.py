@@ -266,15 +266,25 @@ class OracleDecoder:
         return u[order].copy(), order.astype(np.int64), u[order[-1]]
 
     @staticmethod
-    def _merge_bubble(acc, op, pairs, nm):
+    def _merge_bubble(acc, op, pairs, nm, q):
         """Staircase candidate merge — mirrors ems._merge_bubble exactly:
-        candidates enumerated in lex (t, s) order, top-nm by value with
-        ties -> first enumeration position, kept values FLOORED at the
-        classic compensation f = opv_0 + acc_comp."""
+        staircase candidates in lex (t, s) order AUGMENTED with
+        min(2*nm, q) fresh-index fill candidates (value = the classic
+        compensation f = opv_0 + acc_comp, GF indices 0..min(2nm,q)-1,
+        appended after the staircase); below-floor pair candidates are
+        dropped; top-nm by value with ties -> first enumeration
+        position, dedup by GF index. This reproduces the classic
+        scheme's partial-list tail: fewer-than-nm above-floor pairs ->
+        fill with f at the LOWEST GF indices not already kept."""
         av, ai, acomp = acc
         bv, bi, _bcomp = op
+        f = bv[0] + acomp
+        nf = min(2 * nm, q)
         cv = np.array([av[t] + bv[s] for t, s in pairs], dtype=np.float64)
+        cv[cv <= f] = -1e30
+        cv = np.concatenate([cv, np.full(nf, f)])
         ci = np.array([ai[t] ^ bi[s] for t, s in pairs])
+        ci = np.concatenate([ci, np.arange(nf)])
         vals, idxs = [], []
         run = cv.copy()
         for _ in range(nm):
@@ -282,7 +292,6 @@ class OracleDecoder:
             vals.append(run[k])
             idxs.append(int(ci[k]))
             run[ci == ci[k]] = -1e30         # dedup by GF index
-        f = bv[0] + acomp
         vals = np.maximum(np.array(vals), f)
         return vals, np.array(idxs, dtype=np.int64), vals[-1]
 
@@ -324,11 +333,11 @@ class OracleDecoder:
             F = [None] * dc
             F[1] = U[0]
             for j in range(2, dc):
-                F[j] = self._merge_bubble(F[j - 1], U[j - 1], pairs, nm)
+                F[j] = self._merge_bubble(F[j - 1], U[j - 1], pairs, nm, q)
             B = [None] * dc
             B[dc - 2] = U[dc - 1]
             for j in range(dc - 3, -1, -1):
-                B[j] = self._merge_bubble(B[j + 1], U[j + 1], pairs, nm)
+                B[j] = self._merge_bubble(B[j + 1], U[j + 1], pairs, nm, q)
             row = []
             for j in range(dc):
                 if j == 0:
